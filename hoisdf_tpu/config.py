@@ -1,0 +1,157 @@
+"""Declarative configuration for the HOISDF-TPU framework.
+
+Replaces the reference's import-time mutable singleton (``main/config.py:38-197``)
+with a frozen dataclass.  Four named presets mirror the reference ``setting``
+strings: ``ho3d``, ``ho3d_render``, ``dexycb``, ``dexycb_full``
+(``main/config.py:39-97``).  No import-time side effects, no sys.path edits.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    # ---- preset identity ----------------------------------------------------
+    setting: str = "dexycb"
+    dataset: str = "dexycb"  # "ho3d" | "dexycb"
+
+    # ---- paths (None => synthetic fixtures; mirrors main/config.py:46-58) ---
+    object_models_dir: Optional[str] = None
+    simple_object_models_dir: Optional[str] = None
+    annotation_dir: Optional[str] = None
+    data_dir: Optional[str] = None
+    fast_data_dir: Optional[str] = None
+    image_fast_path: Optional[str] = None
+    output_dir: str = "outputs"
+    mano_model_path: Optional[str] = None  # npz produced by tools/convert_mano_pkl.py
+
+    # ---- batch sizes (main/config.py:60-62) ---------------------------------
+    train_batch_size: int = 22
+    test_batch_size: int = 22
+    eval_batch_size: int = 22
+
+    # ---- point sampling (main/config.py:64-69) -------------------------------
+    num_samp_hand: int = 600
+    num_samp_obj: int = 200
+    points_filter_dist: float = 0.05
+    test_seg_thresh: float = 0.1
+    random_ratio: Tuple[float, ...] = (0.3, 0.7)
+    random_move_dist: Tuple[float, ...] = (0.03, 0.05, 0.07)
+
+    # ---- dataset-specific (main/config.py:70-85) -----------------------------
+    add_render: bool = False
+    small_dexycb: bool = True
+    obj_depth_mean_value: Optional[float] = None
+    hand_sdf_scale: float = 3.1
+    obj_sdf_scale: float = 3.1
+    hand_cls_dist: float = 0.04
+    obj_cls_dist: float = 0.05
+
+    # ---- SDF field config (main/config.py:87-92) ------------------------------
+    bins_n: int = 64
+    num_class: int = 6
+    point_feat_size: int = 33  # 30-d NeRF enc + xyz
+    classifier_branch: bool = False
+    clamping_distance: float = 0.15
+
+    # ---- model (main/config.py:94-122) ----------------------------------------
+    use_big_decoder: bool = False
+    use_inverse_kinematics: bool = False
+    resnet_type: int = 50
+    multiscale_layers: Tuple[str, ...] = (
+        "stride2",
+        "stride4",
+        "stride8",
+        "stride16",
+        "stride32",
+    )
+    input_img_shape: Tuple[int, int] = (256, 256)
+    output_hm_shape: Tuple[int, int, int] = (128, 128, 128)
+    sigma: float = 2.5 / 2
+
+    hidden_dim: int = 256
+    dropout: float = 0.1
+    nheads: int = 4
+    dim_feedforward: int = 1024
+    enc_layers: int = 6
+    dec_layers: int = 4
+    pre_norm: bool = False
+
+    mano_num_queries: int = 17  # 15 finger + 1 global + 1 shape
+    mano_shape_indx: int = 16
+
+    # ---- optimization (main/config.py:128-134) --------------------------------
+    end_epoch: int = 70
+    point_sampling_epoch: int = 40
+    lr: float = 1e-4
+    lr_decay_gamma: float = 0.7
+    lr_drop: int = 9  # step every N epochs
+    lr_floor: float = 1e-5  # common/base.py:30-32
+
+    # ---- loss weights (main/config.py:136-151) --------------------------------
+    sdf_hand_weight: float = 50.0
+    sdf_obj_weight: float = 25.0
+    sdf_cls_weight: float = 10.0
+    hm_weight: float = 100 / 100000
+    joint_weight: float = 1 / 10
+    cls_weight: float = 1.0
+    obj_hm_weight: float = 1.0
+    obj_rot_weight: float = 0.7
+    obj_trans_weight: float = 100.0
+    lambda_verts3d: float = 1e4
+    lambda_joints3d: float = 1e4
+    lambda_manopose: float = 10.0
+    lambda_manoshape: float = 0.1
+    mano_lambda_regulshape: float = 1e-6
+
+    # ---- test config ----------------------------------------------------------
+    eval_mesh: bool = False
+
+    # ---- TPU-native knobs (no reference equivalent) ---------------------------
+    compute_dtype: str = "float32"  # "bfloat16" for the TPU hot path
+    # "full"  = exact masked 64^3 lattice scan  (parity w/ main/model.py:246-355)
+    # "coarse2fine" = 16^3 coarse pass + top-cell refinement (faster, ~same pts)
+    sdf_infer_mode: str = "full"
+    sdf_infer_chunk: int = 32768  # lattice points per scan step in "full" mode
+    coarse_bins: int = 16
+    coarse_keep_cells: int = 512
+    mesh_axis_data: str = "data"
+    num_data_workers: int = 15
+    seed: int = 0
+
+    @property
+    def multiscale_dim(self) -> int:
+        # main/config.py:101-108
+        if self.use_big_decoder:
+            return 128 + 256 + 512 + 1024 + 2048
+        return 32 + 64 + 128 + 256 + 512
+
+    @property
+    def nerf_num_freqs(self) -> int:
+        return (self.point_feat_size - 3) // 6  # = 5
+
+
+def get_config(setting: str = "dexycb", **overrides) -> Config:
+    """Build a preset config; mirrors main/config.py:39-97 derivations."""
+    if setting not in ("ho3d", "ho3d_render", "dexycb", "dexycb_full"):
+        raise ValueError(f"unknown setting {setting!r}")
+    dataset = "ho3d" if "ho3d" in setting else "dexycb"
+    base = dict(
+        setting=setting,
+        dataset=dataset,
+        use_big_decoder=(setting == "ho3d"),
+        use_inverse_kinematics=(setting == "ho3d_render"),
+        eval_mesh=(setting == "dexycb_full"),
+    )
+    if dataset == "ho3d":
+        base.update(
+            add_render=("render" in setting),
+            obj_depth_mean_value=0.5244322,
+        )
+    else:
+        base.update(small_dexycb=("full" not in setting))
+    base.update(overrides)
+    return Config(**base)
