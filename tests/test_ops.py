@@ -1,0 +1,65 @@
+"""grid_sample and NeRF-encoding parity tests."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from hoisdf_tpu.ops.grid_sample import (
+    grid_sample_bilinear,
+    multiscale_point_features,
+    pixels_to_grid,
+    project_points,
+)
+from hoisdf_tpu.ops.nerf import nerf_positional_encoding
+
+
+def test_grid_sample_golden(golden):
+    g = golden("grid_sample")
+    feats = jnp.asarray(g["feats"]).transpose(0, 2, 3, 1)  # NCHW -> NHWC
+    grid = jnp.asarray(g["grid"][:, 0])  # [B,P,2]
+    out = grid_sample_bilinear(feats, grid)  # [B,P,C]
+    want = g["out"][:, :, 0].transpose(0, 2, 1)  # [B,C,1,P] -> [B,P,C]
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-5)
+
+
+def test_multiscale_gather_concat_order():
+    rng = np.random.RandomState(0)
+    pyr = {
+        "a": jnp.asarray(rng.randn(1, 8, 8, 3).astype(np.float32)),
+        "b": jnp.asarray(rng.randn(1, 4, 4, 2).astype(np.float32)),
+    }
+    grid = jnp.zeros((1, 5, 2))
+    out = multiscale_point_features(pyr, grid, ["a", "b"])
+    assert out.shape == (1, 5, 5)
+    np.testing.assert_allclose(
+        np.asarray(out[0, 0, :3]), np.asarray(grid_sample_bilinear(pyr["a"], grid))[0, 0]
+    )
+
+
+def test_project_points_matches_manual():
+    rng = np.random.RandomState(1)
+    pts = rng.rand(2, 10, 3).astype(np.float32) + np.array([0, 0, 0.5], np.float32)
+    k = np.array(
+        [[[500.0, 0, 128], [0, 500, 128], [0, 0, 1]]] * 2, dtype=np.float32
+    )
+    pix = np.asarray(project_points(jnp.asarray(pts), jnp.asarray(k)))
+    want = (pts @ k[0].T)[..., :2] / (pts @ k[0].T)[..., 2:3]
+    np.testing.assert_allclose(pix, want, rtol=1e-5)
+
+
+def test_pixels_to_grid_range():
+    pix = jnp.asarray([[[0.0, 0.0], [255.0, 255.0], [127.5, 127.5]]])
+    grid = np.asarray(pixels_to_grid(pix, (256, 256)))
+    np.testing.assert_allclose(grid[0, 0], [-1, -1], atol=1e-6)
+    np.testing.assert_allclose(grid[0, 1], [1, 1], atol=1e-6)
+    np.testing.assert_allclose(grid[0, 2], [0, 0], atol=1e-6)
+
+
+def test_nerf_encoding_layout():
+    # Column order must match sdf_utils.py:117-120: per-frequency sin then cos.
+    x = jnp.asarray([[0.3, -0.7, 1.1]])
+    enc = np.asarray(nerf_positional_encoding(x, 5))
+    assert enc.shape == (1, 30)
+    xin = np.asarray(x)[0]
+    for f_i, f in enumerate([1.0, 2.0, 4.0, 8.0, 16.0]):
+        np.testing.assert_allclose(enc[0, f_i * 6 : f_i * 6 + 3], np.sin(xin * f), atol=1e-6)
+        np.testing.assert_allclose(enc[0, f_i * 6 + 3 : f_i * 6 + 6], np.cos(xin * f), atol=1e-6)
