@@ -43,7 +43,10 @@ from hoisdf_tpu.ops.grid_sample import (
     project_points,
 )
 from hoisdf_tpu.ops.nerf import nerf_positional_encoding
-from hoisdf_tpu.ops.point_sampling import sdf_guided_sample
+from hoisdf_tpu.ops.point_sampling import (
+    sdf_guided_sample,
+    sdf_guided_sample_coarse2fine,
+)
 
 
 class MLP(nn.Module):
@@ -186,11 +189,19 @@ class HOISDF(nn.Module):
             )
             return sdf[..., 0]
 
-        points, sdf = sdf_guided_sample(
-            sdf_fn, center, cam_intr, bbox,
-            sdf_scale=sdf_scale, num_points=num_points, bins_n=c.bins_n,
-            chunk=c.sdf_infer_chunk, clamp=c.clamping_distance,
-        )
+        if c.sdf_infer_mode == "coarse2fine":
+            points, sdf = sdf_guided_sample_coarse2fine(
+                sdf_fn, center, cam_intr, bbox,
+                sdf_scale=sdf_scale, num_points=num_points, bins_n=c.bins_n,
+                coarse_factor=c.bins_n // c.coarse_bins,
+                keep_cells=c.coarse_keep_cells, clamp=c.clamping_distance,
+            )
+        else:
+            points, sdf = sdf_guided_sample(
+                sdf_fn, center, cam_intr, bbox,
+                sdf_scale=sdf_scale, num_points=num_points, bins_n=c.bins_n,
+                chunk=c.sdf_infer_chunk, clamp=c.clamping_distance,
+            )
         points = jax.lax.stop_gradient(points)
         sdf = jax.lax.stop_gradient(sdf)
         posenc = nerf_positional_encoding(points, c.nerf_num_freqs)

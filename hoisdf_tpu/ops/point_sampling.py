@@ -110,3 +110,85 @@ def sdf_guided_sample(
     points = lattice[state.index]  # [B, K, 3]
     sdf = jnp.clip(state.sdf, -clamp, clamp)[..., None]
     return points, sdf
+
+
+def _in_bbox(pts_scaled, center, cam_intr, bbox, sdf_scale):
+    """Project scaled-frame points and test against the 2D pixel bbox."""
+    cam_pts = pts_scaled / sdf_scale + center[:, None, :]
+    p2d = jnp.einsum("bpc,bkc->bpk", cam_pts, cam_intr)
+    pix = p2d[..., :2] / p2d[..., 2:3]
+    return (
+        (pix[..., 0] > bbox[:, None, 0])
+        & (pix[..., 0] < bbox[:, None, 2])
+        & (pix[..., 1] > bbox[:, None, 1])
+        & (pix[..., 1] < bbox[:, None, 3])
+    )
+
+
+def sdf_guided_sample_coarse2fine(
+    sdf_fn: Callable[[jax.Array], jax.Array],
+    center: jax.Array,
+    cam_intr: jax.Array,
+    bbox: jax.Array,
+    *,
+    sdf_scale: float,
+    num_points: int,
+    bins_n: int = 64,
+    coarse_factor: int = 4,
+    keep_cells: int = 512,
+    clamp: float = 0.15,
+) -> Tuple[jax.Array, jax.Array]:
+    """Two-stage surface-point selection: ~7x fewer SDF evals than the full
+    lattice at matched selection quality.
+
+    Stage 1 probes the SDF at the centers of (coarse_factor^3)-point cells of
+    the fine lattice (e.g. 16^3 probes for a 64^3 lattice) and keeps the
+    ``keep_cells`` cells nearest the predicted surface.  Stage 2 evaluates
+    every fine lattice point inside the kept cells and top-Ks by |sdf|.
+    Since the true SDF is 1-Lipschitz, a cell containing surface has a small
+    center value, so the pruning is conservative at keep_cells >> the number
+    of surface-adjacent cells.  Selected points lie on the same 64^3 lattice
+    as the reference's dense pass (main/model.py:260-273).
+    """
+    b = center.shape[0]
+    cb = bins_n // coarse_factor
+    fine = make_lattice(bins_n)  # [N, 3]
+    fine_grid = fine.reshape(bins_n, bins_n, bins_n, 3)
+    # Cell-center probes: mean of each coarse_factor^3 block.
+    coarse = fine_grid.reshape(
+        cb, coarse_factor, cb, coarse_factor, cb, coarse_factor, 3
+    ).mean(axis=(1, 3, 5)).reshape(-1, 3)  # [cb^3, 3]
+
+    coarse_b = jnp.broadcast_to(coarse[None], (b, coarse.shape[0], 3))
+    sdf_c = sdf_fn(coarse_b)  # [B, cb^3]
+    in_box_c = _in_bbox(coarse_b, center, cam_intr, bbox, sdf_scale)
+    score_c = jnp.where(in_box_c, jnp.abs(sdf_c), jnp.inf)
+    _, cell_idx = jax.lax.top_k(-score_c, keep_cells)  # [B, keep]
+
+    # Flat fine index of each cell's origin + the 4^3 child offsets.
+    ci = cell_idx // (cb * cb)
+    cj = (cell_idx // cb) % cb
+    ck = cell_idx % cb
+    base = (
+        ci * coarse_factor * bins_n * bins_n
+        + cj * coarse_factor * bins_n
+        + ck * coarse_factor
+    )  # [B, keep]
+    f = coarse_factor
+    offs = (
+        np.arange(f)[:, None, None] * bins_n * bins_n
+        + np.arange(f)[None, :, None] * bins_n
+        + np.arange(f)[None, None, :]
+    ).reshape(-1)  # [f^3]
+    child_idx = (base[..., None] + jnp.asarray(offs)[None, None]).reshape(
+        b, keep_cells * f**3
+    )  # [B, keep*f^3]
+
+    child_pts = fine[child_idx]  # [B, P, 3]
+    sdf_f = sdf_fn(child_pts)  # [B, P]
+    in_box_f = _in_bbox(child_pts, center, cam_intr, bbox, sdf_scale)
+    score_f = jnp.where(in_box_f, jnp.abs(sdf_f), jnp.inf)
+    _, sel = jax.lax.top_k(-score_f, num_points)
+    points = jnp.take_along_axis(child_pts, sel[..., None], axis=1)
+    sdf = jnp.take_along_axis(sdf_f, sel, axis=1)
+    return points, jnp.clip(sdf, -clamp, clamp)[..., None]

@@ -1,0 +1,87 @@
+"""Field-guided point sampling: full-lattice scan vs coarse-to-fine parity on
+an analytic SDF (the redesign of main/model.py:246-355)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from hoisdf_tpu.ops.point_sampling import (
+    make_lattice,
+    sdf_guided_sample,
+    sdf_guided_sample_coarse2fine,
+)
+
+
+def _setup(b=2):
+    center = jnp.asarray(np.array([[0.0, 0.0, 0.5]] * b, np.float32))
+    cam = jnp.asarray(
+        np.tile(np.array([[[200.0, 0, 128], [0, 200, 128], [0, 0, 1]]], np.float32), (b, 1, 1))
+    )
+    bbox = jnp.asarray(np.array([[0.0, 0.0, 256.0, 256.0]] * b, np.float32))
+    return center, cam, bbox
+
+
+def sphere_sdf(pts):
+    # sphere of radius .6 centred at (.1, -.05, .2) in the scaled frame
+    c = jnp.asarray([0.1, -0.05, 0.2])
+    return jnp.linalg.norm(pts - c, axis=-1) - 0.6
+
+
+def test_lattice_ordering_matches_reference_index_arithmetic():
+    lat = make_lattice(4)
+    step = 2.0 / 3
+    # index i -> coords with axis 0 slowest (main/model.py:265-273)
+    i = 27
+    want = np.array(
+        [(i // 16) % 4, (i // 4) % 4, i % 4], np.float32
+    ) * step - 1.0
+    np.testing.assert_allclose(lat[i], want, atol=1e-6)
+
+
+def test_full_scan_selects_nearest_surface():
+    center, cam, bbox = _setup()
+    pts, sdf = sdf_guided_sample(
+        sphere_sdf, center, cam, bbox, sdf_scale=3.1, num_points=64,
+        bins_n=16, chunk=1024,
+    )
+    assert pts.shape == (2, 64, 3)
+    # every selected point should be within one lattice step of the sphere
+    d = np.abs(np.asarray(sphere_sdf(pts)))
+    assert d.max() < 2.0 / 15  # lattice spacing
+
+
+def test_coarse2fine_matches_full_on_smooth_field():
+    center, cam, bbox = _setup()
+    k = 64
+    pts_full, sdf_full = sdf_guided_sample(
+        sphere_sdf, center, cam, bbox, sdf_scale=3.1, num_points=k,
+        bins_n=16, chunk=4096,
+    )
+    pts_c2f, sdf_c2f = sdf_guided_sample_coarse2fine(
+        sphere_sdf, center, cam, bbox, sdf_scale=3.1, num_points=k,
+        bins_n=16, coarse_factor=4, keep_cells=32,
+    )
+    # selection sets should overlap almost entirely (ties aside)
+    full_set = {tuple(np.round(p, 5)) for p in np.asarray(pts_full[0])}
+    c2f_set = {tuple(np.round(p, 5)) for p in np.asarray(pts_c2f[0])}
+    overlap = len(full_set & c2f_set) / k
+    assert overlap > 0.9, overlap
+    # and the |sdf| spectra should match closely
+    np.testing.assert_allclose(
+        np.sort(np.abs(np.asarray(sdf_full[0, :, 0]))),
+        np.sort(np.abs(np.asarray(sdf_c2f[0, :, 0]))),
+        atol=1e-3,
+    )
+
+
+def test_bbox_mask_excludes_points():
+    center, cam, bbox = _setup()
+    # bbox covering only the left half of the image
+    bbox = jnp.asarray(np.array([[0.0, 0.0, 128.0, 256.0]] * 2, np.float32))
+    pts, _ = sdf_guided_sample(
+        sphere_sdf, center, cam, bbox, sdf_scale=3.1, num_points=32,
+        bins_n=16, chunk=1024,
+    )
+    cam_pts = pts / 3.1 + center[:, None, :]
+    pix = jnp.einsum("bpc,bkc->bpk", cam_pts, cam)
+    pix = pix[..., :2] / pix[..., 2:3]
+    assert float(pix[..., 0].max()) < 128.0

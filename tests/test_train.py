@@ -1,0 +1,147 @@
+"""Train-step tests: optimizer wiring, BN freeze, LR schedule, checkpointing,
+and the 8-device data-parallel path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hoisdf_tpu.config import get_config
+from hoisdf_tpu.data.synthetic import synthetic_batch, split_inputs_targets
+from hoisdf_tpu.mano.layer import ManoBuffers
+from hoisdf_tpu.mano.model import make_synthetic_mano
+from hoisdf_tpu.models.hoisdf import build_model
+from hoisdf_tpu.parallel.mesh import make_mesh, shard_batch
+from hoisdf_tpu.train import (
+    create_train_state,
+    lr_for_epoch,
+    make_train_step,
+    presample_gate,
+)
+from hoisdf_tpu.utils import checkpoint as ckpt
+
+
+def tiny_cfg():
+    return get_config(
+        "dexycb", resnet_type=18, hidden_dim=64, dim_feedforward=128,
+        enc_layers=2, dec_layers=2, num_samp_hand=32, num_samp_obj=16,
+        input_img_shape=(64, 64), output_hm_shape=(32, 32, 32), bins_n=16,
+        sdf_infer_chunk=2048,
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_cfg()
+    model = build_model(cfg)
+    mano = ManoBuffers.from_model(make_synthetic_mano(0))
+    batch = synthetic_batch(cfg, batch_size=2, train=True)
+    inputs, targets = split_inputs_targets(batch)
+    inputs = {k: jnp.asarray(v) for k, v in inputs.items()}
+    targets = {k: jnp.asarray(v) for k, v in targets.items()}
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), inputs, 100)
+    return cfg, model, mano, state, inputs, targets
+
+
+def test_train_step_decreases_loss(setup):
+    cfg, model, mano, state, inputs, targets = setup
+    step = make_train_step(cfg, model, mano)
+    losses0 = None
+    for i in range(3):
+        state, losses = step(
+            state, inputs, targets, jax.random.PRNGKey(7), jnp.asarray(0.03),
+            use_presampled=True,
+        )
+        if losses0 is None:
+            losses0 = float(losses["total"])
+    assert np.isfinite(float(losses["total"]))
+    assert float(losses["total"]) < losses0  # same batch, must overfit
+
+
+def test_bn_params_frozen(setup):
+    cfg, model, mano, state, inputs, targets = setup
+    step = make_train_step(cfg, model, mano)
+    before = state.params["backbone"]["bn1"]["bn"]["scale"]
+    new_state, _ = step(
+        state, inputs, targets, jax.random.PRNGKey(0), jnp.asarray(0.03),
+        use_presampled=True,
+    )
+    after = new_state.params["backbone"]["bn1"]["bn"]["scale"]
+    np.testing.assert_array_equal(np.asarray(before), np.asarray(after))
+    # non-BN param must move
+    w0 = state.params["backbone"]["conv1"]["kernel"]
+    w1 = new_state.params["backbone"]["conv1"]["kernel"]
+    assert not np.allclose(np.asarray(w0), np.asarray(w1))
+    # downsample BN is NOT frozen (replicates the reference's name-filter quirk,
+    # main/model.py:118-121 matches 'bn' in torchvision names only)
+    d0 = state.params["backbone"]["layer2_0"]["downsample_bn"]["bn"]["scale"]
+    d1 = new_state.params["backbone"]["layer2_0"]["downsample_bn"]["bn"]["scale"]
+    assert not np.allclose(np.asarray(d0), np.asarray(d1))
+
+
+def test_lr_schedule_floor():
+    cfg = get_config("dexycb")
+    assert lr_for_epoch(cfg, 0) == pytest.approx(1e-4)
+    assert lr_for_epoch(cfg, 9) == pytest.approx(7e-5)
+    assert lr_for_epoch(cfg, 18) == pytest.approx(4.9e-5)
+    assert lr_for_epoch(cfg, 69) == pytest.approx(1e-5)  # floored
+
+
+def test_presample_gate():
+    cfg = get_config("dexycb")
+    assert presample_gate(cfg, epoch=10, batch_ratio=0.0, p=0.9) == (True, 0.03)
+    use, d = presample_gate(cfg, epoch=50, batch_ratio=0.5, p=0.9)
+    assert not use and d == 0.05
+    assert presample_gate(cfg, epoch=50, batch_ratio=0.9, p=0.1) == (True, 0.07)
+
+
+def test_checkpoint_roundtrip(setup, tmp_path):
+    cfg, model, mano, state, inputs, targets = setup
+    payload = {
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    ckpt.save_snapshot(str(tmp_path), 3, payload)
+    ckpt.save_snapshot(str(tmp_path), 7, payload)
+    assert ckpt.latest_epoch(str(tmp_path)) == 7
+    restored = ckpt.restore_snapshot(str(tmp_path), payload)
+    assert restored["epoch"] == 7
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["backbone"]["conv1"]["kernel"]),
+        np.asarray(state.params["backbone"]["conv1"]["kernel"]),
+    )
+
+
+def test_data_parallel_8dev_matches_single(setup):
+    cfg, model, mano, state, inputs, targets = setup
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    step = make_train_step(cfg, model, mano)
+    # single-device result
+    s1, losses1 = step(
+        state, inputs, targets, jax.random.PRNGKey(1), jnp.asarray(0.03),
+        use_presampled=True,
+    )
+    # 8-way data parallel on a batch of 8 (replicate the 2-sample batch 4x)
+    mesh = make_mesh(jax.devices()[:8])
+    big_inputs = {k: jnp.concatenate([v] * 4, axis=0) for k, v in inputs.items()}
+    big_targets = {k: jnp.concatenate([v] * 4, axis=0) for k, v in targets.items()}
+    with mesh:
+        state_r = jax.device_put(
+            state, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        )
+        bi = shard_batch(big_inputs, mesh)
+        bt = shard_batch(big_targets, mesh)
+        s8, losses8 = step(
+            state_r, bi, bt, jax.random.PRNGKey(1), jnp.asarray(0.03),
+            use_presampled=True,
+        )
+    assert np.isfinite(float(losses8["total"]))
+    # 4x-replicated batch != identical loss (noise rng differs per position)
+    # but magnitudes must be close
+    assert abs(float(losses8["total"]) - float(losses1["total"])) / float(
+        losses1["total"]
+    ) < 0.2
