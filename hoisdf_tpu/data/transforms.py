@@ -1,0 +1,235 @@
+"""Host-side geometric & photometric transforms for the data pipeline.
+
+Parity target: ``data/dataset_util.py`` — affine crop construction
+(:54-103), coordinate/image transforms (:38-51), bbox utilities (:114-141,
+319-332), color jitter (:144-201), camera helpers (:335-350) — implemented
+with numpy + PIL only (no cv2/torchvision; Rodrigues comes from numpy).
+
+These run in data-loader workers on the host; the device-side model consumes
+only the resulting fixed-shape tensors (SURVEY.md §3.4 contract).
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Optional, Tuple
+
+import numpy as np
+from PIL import Image, ImageEnhance
+
+
+# ---- rotations (numpy; replaces cv2.Rodrigues uses in the data path) -----------
+
+
+def rodrigues_np(aa: np.ndarray) -> np.ndarray:
+    """Axis-angle [3] -> rotation matrix [3,3]."""
+    theta = np.linalg.norm(aa)
+    if theta < 1e-12:
+        return np.eye(3, dtype=np.float64)
+    k = aa / theta
+    kx = np.array(
+        [[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]], dtype=np.float64
+    )
+    return np.eye(3) + np.sin(theta) * kx + (1 - np.cos(theta)) * (kx @ kx)
+
+
+def inv_rodrigues_np(rot: np.ndarray) -> np.ndarray:
+    """Rotation matrix [3,3] -> axis-angle [3]."""
+    cos_t = np.clip((np.trace(rot) - 1) / 2, -1.0, 1.0)
+    theta = np.arccos(cos_t)
+    if theta < 1e-12:
+        return np.zeros(3)
+    if np.pi - theta < 1e-6:
+        # near-pi: extract axis from R + I
+        m = (rot + np.eye(3)) / 2
+        axis = np.sqrt(np.maximum(np.diagonal(m), 0))
+        # fix signs from off-diagonals
+        if m[0, 1] < 0:
+            axis[1] = -axis[1]
+        if m[0, 2] < 0:
+            axis[2] = -axis[2]
+        return axis / np.linalg.norm(axis) * theta
+    v = np.array(
+        [rot[2, 1] - rot[1, 2], rot[0, 2] - rot[2, 0], rot[1, 0] - rot[0, 1]]
+    )
+    return v / (2 * np.sin(theta)) * theta
+
+
+def rotation_angle(
+    angle: np.ndarray, rot_mat: np.ndarray, coord_change_mat: Optional[np.ndarray] = None
+) -> np.ndarray:
+    """Compose a rotation matrix onto an axis-angle pose
+    (dataset_util.py:106-111)."""
+    per = rodrigues_np(angle)
+    if coord_change_mat is not None:
+        rot_mat = rot_mat @ coord_change_mat
+    return inv_rodrigues_np(rot_mat @ per).astype(np.float32)
+
+
+# ---- affine crop construction ---------------------------------------------------
+
+
+def get_affine_trans_no_rot(center, scale, res) -> np.ndarray:
+    """Square crop of side ``scale`` around ``center`` -> res (dataset_util.py:97-103)."""
+    a = np.zeros((3, 3))
+    a[0, 0] = float(res[0]) / scale
+    a[1, 1] = float(res[1]) / scale
+    a[0, 2] = res[1] * (-float(center[0]) / scale + 0.5)
+    a[1, 2] = res[0] * (-float(center[1]) / scale + 0.5)
+    a[2, 2] = 1
+    return a
+
+
+def get_affine_transform(center, scale, res, rot: float = 0, K=None):
+    """In-plane rot about the image origin then crop (dataset_util.py:54-94).
+
+    Returns (total_trans, post_rot_trans, rot_mat) when K is given (the
+    reference re-centres the rotation on the principal point for the
+    K update), else (total_trans, rot_mat).
+    """
+    rot_mat = np.zeros((3, 3))
+    sn, cs = np.sin(rot), np.cos(rot)
+    rot_mat[0, :2] = [cs, -sn]
+    rot_mat[1, :2] = [sn, cs]
+    rot_mat[2, 2] = 1
+    center_h = np.array([center[0], center[1], 1.0])
+    origin_rot_center = (rot_mat @ center_h)[:2]
+    post_rot_trans = get_affine_trans_no_rot(origin_rot_center, scale, res)
+    total_trans = post_rot_trans @ rot_mat
+    if K is None:
+        return total_trans.astype(np.float32), rot_mat.astype(np.float32)
+    t_mat = np.eye(3)
+    t_mat[0, 2] = -K[0, 2]
+    t_mat[1, 2] = -K[1, 2]
+    t_inv = t_mat.copy()
+    t_inv[:2, 2] *= -1
+    transformed_center = t_inv @ rot_mat @ t_mat @ center_h
+    affinetrans_post_rot = get_affine_trans_no_rot(
+        transformed_center[:2], scale, res
+    )
+    return (
+        total_trans.astype(np.float32),
+        affinetrans_post_rot.astype(np.float32),
+        rot_mat.astype(np.float32),
+    )
+
+
+def transform_coords(pts: np.ndarray, affine_trans: np.ndarray) -> np.ndarray:
+    """Apply a 3x3 affine to 2D points [N,2] (dataset_util.py:38-41)."""
+    hom = np.concatenate([pts, np.ones((np.asarray(pts).shape[0], 1))], axis=1)
+    return (affine_trans @ hom.T).T[:, :2]
+
+
+def transform_img(img: Image.Image, affine_trans: np.ndarray, res) -> Image.Image:
+    """Warp a PIL image by the affine (PIL takes the inverse map;
+    dataset_util.py:44-51)."""
+    inv = np.linalg.inv(affine_trans)
+    return img.transform(
+        tuple(res),
+        Image.AFFINE,
+        (inv[0, 0], inv[0, 1], inv[0, 2], inv[1, 0], inv[1, 1], inv[1, 2]),
+    )
+
+
+# ---- bboxes ---------------------------------------------------------------------
+
+
+def get_bbox_joints(joints2d: np.ndarray, bbox_factor: float = 1.1) -> np.ndarray:
+    """Expanded bbox around 2D points (dataset_util.py:114-126); note the
+    reference's int() center truncation, preserved."""
+    min_x, min_y = joints2d.min(0)
+    max_x, max_y = joints2d.max(0)
+    center = np.asarray([int((max_x + min_x) / 2), int((max_y + min_y) / 2)])
+    delta = np.asarray(
+        [(max_x - min_x) * bbox_factor / 2, (max_y - min_y) * bbox_factor / 2]
+    )
+    return np.array([*(center - delta), *(center + delta)], dtype=np.float32)
+
+
+def fuse_bbox(bbox_1, bbox_2, img_shape, scale_factor: float = 1.0):
+    """Union of two bboxes clipped to the image -> (center, square scale)
+    (dataset_util.py:319-333)."""
+    bbox = np.concatenate((bbox_1.reshape(2, 2), bbox_2.reshape(2, 2)), axis=0)
+    min_x, min_y = bbox.min(0)
+    min_x, min_y = max(0, min_x), max(0, min_y)
+    max_x, max_y = bbox.max(0)
+    max_x, max_y = min(max_x, img_shape[0]), min(max_y, img_shape[1])
+    center = np.asarray([int((max_x + min_x) / 2), int((max_y + min_y) / 2)])
+    scale = max(max_x - min_x, max_y - min_y) * scale_factor
+    return center, scale
+
+
+def normalize_joints(joints2d: np.ndarray, bbox: np.ndarray) -> np.ndarray:
+    bbox = bbox.reshape(2, 2)
+    return (joints2d - bbox[0]) / (bbox[1] - bbox[0])
+
+
+# ---- camera ---------------------------------------------------------------------
+
+
+def pixel2cam(joint25d: np.ndarray, K: np.ndarray) -> np.ndarray:
+    x = (joint25d[0] - K[0, 2]) / K[0, 0] * joint25d[2]
+    y = (joint25d[1] - K[1, 2]) / K[1, 1] * joint25d[2]
+    return np.array([x, y, joint25d[2]])
+
+
+def get_center_cam(bbox2d: np.ndarray, z: float, K: np.ndarray) -> np.ndarray:
+    """2D bbox center lifted to camera space at depth z
+    (dataset_util.py:344-350)."""
+    c_x = int((bbox2d[0] + bbox2d[2]) / 2)
+    c_y = int((bbox2d[1] + bbox2d[3]) / 2)
+    return pixel2cam(np.asarray([c_x, c_y, z]), K)
+
+
+def project_points_np(p3d: np.ndarray, K: np.ndarray, rt: Optional[np.ndarray] = None):
+    """3D points (+optional [R|t]) -> (camera pts, pixel coords)
+    (dex_ycb_util.py:47-54)."""
+    if rt is not None:
+        p3d = p3d @ rt[:, :3].T + rt[:, 3]
+    p2d = p3d @ K.T
+    return p3d, (p2d[:, :2] / p2d[:, 2:3]).astype(np.float32)
+
+
+# ---- photometric ----------------------------------------------------------------
+
+
+def _adjust_hue(img: Image.Image, hue_factor: float) -> Image.Image:
+    """PIL hue shift matching torchvision.adjust_hue semantics."""
+    if abs(hue_factor) < 1e-8:
+        return img
+    hsv = np.array(img.convert("HSV"), dtype=np.uint8)
+    hsv[..., 0] = (hsv[..., 0].astype(np.int16) + int(hue_factor * 255)) % 256
+    return Image.fromarray(hsv, "HSV").convert("RGB")
+
+
+def color_jitter(
+    img: Image.Image,
+    brightness: float = 0,
+    contrast: float = 0,
+    saturation: float = 0,
+    hue: float = 0,
+    rng: Optional[random.Random] = None,
+) -> Image.Image:
+    """Random brightness/saturation/hue/contrast in random order
+    (dataset_util.py:144-201).  Distribution-matched, not bitwise (the
+    reference's RNG-order sensitivity is explicitly out of parity scope,
+    SURVEY.md §7e)."""
+    rng = rng or random
+    ops = []
+    if brightness > 0:
+        f = rng.uniform(max(0, 1 - brightness), 1 + brightness)
+        ops.append(lambda im: ImageEnhance.Brightness(im).enhance(f))
+    if saturation > 0:
+        f_s = rng.uniform(max(0, 1 - saturation), 1 + saturation)
+        ops.append(lambda im: ImageEnhance.Color(im).enhance(f_s))
+    if hue > 0:
+        f_h = rng.uniform(-hue, hue)
+        ops.append(lambda im: _adjust_hue(im, f_h))
+    if contrast > 0:
+        f_c = rng.uniform(max(0, 1 - contrast), 1 + contrast)
+        ops.append(lambda im: ImageEnhance.Contrast(im).enhance(f_c))
+    rng.shuffle(ops)
+    out = img.copy()
+    for op in ops:
+        out = op(out)
+    return out
