@@ -1,0 +1,271 @@
+"""Evaluation entry point: checkpointed model -> results.txt metrics.
+
+Parity target: ``main/test.py:77-269`` — DexYCB: ADD-S/OCE/MCE + MANO
+MJE/PA-MJE (+ dexycb_full mesh EPE/AUC and F@5/15mm); HO3D: ADD-S/MME +
+codalab ``pred_mano.json`` accumulation with the MANO->Simple joint reorder
+and the OpenGL coordinate change.
+
+Usage:
+    python -m hoisdf_tpu.evaluate --setting dexycb --synthetic        # smoke
+    python -m hoisdf_tpu.evaluate --setting dexycb --ckpt <dir> ...   # real
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hoisdf_tpu.config import Config, get_config
+from hoisdf_tpu.data.synthetic import split_inputs_targets, synthetic_batch
+from hoisdf_tpu.mano.layer import ManoBuffers
+from hoisdf_tpu.mano.model import load_mano_npz, make_synthetic_mano
+from hoisdf_tpu.metrics import (
+    EvalUtil,
+    eval_batched_obj_direct,
+    eval_hand_joint,
+    fscore,
+)
+from hoisdf_tpu.models.hoisdf import build_model
+from hoisdf_tpu.models.mano_head import mano_head_gt
+from hoisdf_tpu.ops.ik import ik_solver_mano
+from hoisdf_tpu.ops.rotations import rigid_align
+from hoisdf_tpu.train import make_eval_step
+from hoisdf_tpu.utils import checkpoint as ckpt_util
+
+# MANO joint order -> "simple" leaderboard order (data/ho3d.py:47-70)
+JOINTS_MANO_TO_SIMPLE = np.array(
+    [0, 13, 14, 15, 16, 1, 2, 3, 17, 4, 5, 6, 18, 10, 11, 12, 19, 7, 8, 9, 20]
+)
+JOINTS_SIMPLE_TO_MANO = np.argsort(JOINTS_MANO_TO_SIMPLE)
+
+COORD_CHANGE_MAT = np.array(
+    [[1.0, 0.0, 0.0], [0, -1.0, 0.0], [0.0, 0.0, -1.0]], dtype=np.float32
+)
+
+
+def load_obj_vertices(path: str) -> np.ndarray:
+    """Minimal OBJ vertex parser for the simplified 1000-vert YCB meshes
+    (replaces pytorch3d/meshio at dataset_util.py:353-379)."""
+    verts = []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("v "):
+                verts.append([float(x) for x in line.split()[1:4]])
+    return np.asarray(verts, np.float32)
+
+
+def prepare_model_templates(obj_root: str):
+    templates, obj_names = [], {}
+    for obj_id, obj in enumerate(sorted(os.listdir(obj_root)), start=1):
+        path = os.path.join(obj_root, obj, "textured_simple_2000.obj")
+        templates.append(load_obj_vertices(path))
+        obj_names[obj_id] = obj
+    return templates, obj_names
+
+
+class Evaluator:
+    """Accumulates the reference's metric set over eval batches."""
+
+    def __init__(self, cfg: Config, mano_buffers: ManoBuffers):
+        self.cfg = cfg
+        self.mano = mano_buffers
+        self.results: Dict[str, float] = {"ADDS_error": 0.0}
+        self.total = 0
+        if cfg.dataset == "dexycb":
+            self.results.update(
+                mano_mje=0.0, mano_pamje=0.0, OCE_error=0.0, MCE_error=0.0
+            )
+            self.mesh_err = EvalUtil(num_kp=778)
+            self.mesh_err_aligned = EvalUtil(num_kp=778)
+            self.f_scores: List[List[float]] = []
+            self.f_scores_aligned: List[List[float]] = []
+            self.f_threshs = (0.005, 0.015)
+        else:
+            self.results["MME_error"] = 0.0
+            self.joint_list: List[np.ndarray] = []
+            self.mesh_list: List[np.ndarray] = []
+
+    def feed(self, preds: Dict, targets: Dict, meta: Dict, templates: jax.Array):
+        cfg = self.cfg
+        b = int(meta["mano_root"].shape[0])
+        obj_rot = preds["obj_rot"].mean(axis=1)  # point-avg (test.py:121-122)
+        obj_trans = preds["obj_trans"].mean(axis=1)
+
+        obj = eval_batched_obj_direct(
+            obj_rot, obj_trans, targets["obj_rot"], targets["rel_obj_trans"],
+            templates, ho3d=cfg.dataset == "ho3d",
+        )
+        mask = np.asarray(meta.get("obj_valid", np.ones(b, bool)))
+        n = int(mask.sum())
+        if n:
+            self.results["ADDS_error"] += float(
+                np.asarray(obj["ADDS"])[mask].mean()
+            ) * n * 100
+
+        if cfg.dataset == "ho3d":
+            if n:
+                self.results["MME_error"] += float(
+                    np.asarray(obj["MME"])[mask].mean()
+                ) * n * 100
+            root = np.asarray(meta["mano_root"])[:, None, :]
+            if cfg.use_inverse_kinematics:
+                hand_joints = np.concatenate(
+                    [np.zeros_like(preds["hand_joints"][:, :1]),
+                     np.asarray(preds["hand_joints"])], axis=1,
+                )
+                ik = ik_solver_mano(
+                    self.mano, jnp.asarray(hand_joints), preds.get("mano_shape")
+                )
+                joints = np.asarray(ik["joints"]) + root
+                mesh = np.asarray(ik["verts"]) + root
+            else:
+                joints = np.asarray(preds["mano_joints"]) + root
+                mesh = np.asarray(preds["mano_verts"]) + root
+            joints = joints @ COORD_CHANGE_MAT
+            mesh = mesh @ COORD_CHANGE_MAT
+            for x, v in zip(joints, mesh):
+                self.joint_list.append(x[JOINTS_SIMPLE_TO_MANO])
+                self.mesh_list.append(v)
+        else:
+            if cfg.use_inverse_kinematics:
+                hand_joints = np.concatenate(
+                    [np.zeros_like(preds["hand_joints"][:, :1]),
+                     np.asarray(preds["hand_joints"])], axis=1,
+                )
+                ik = ik_solver_mano(
+                    self.mano, jnp.asarray(hand_joints), preds.get("mano_shape")
+                )
+                mje, pamje = eval_hand_joint(
+                    ik["joints"], jnp.asarray(targets["joint_cam_no_trans"]) / 1000
+                )
+            else:
+                gt = mano_head_gt(self.mano, jnp.asarray(targets["mano_param"]))
+                mje, pamje = eval_hand_joint(preds["mano_joints"], gt["joints3d"])
+            self.results["mano_mje"] += float(mje) * b * 100
+            self.results["mano_pamje"] += float(pamje) * b * 100
+            if n:
+                self.results["OCE_error"] += float(
+                    np.asarray(obj["OCE"])[mask].mean()
+                ) * n * 100
+                self.results["MCE_error"] += float(
+                    np.asarray(obj["MCE"])[mask].mean()
+                ) * n * 100
+            if cfg.eval_mesh:
+                gt = mano_head_gt(self.mano, jnp.asarray(targets["mano_param"]))
+                pred_v = np.asarray(preds["mano_verts"])
+                gt_v = np.asarray(gt["verts3d"])
+                for pv, gv in zip(pred_v, gt_v):
+                    aligned = np.asarray(
+                        rigid_align(jnp.asarray(pv), jnp.asarray(gv))
+                    )
+                    self.mesh_err.feed(gv, pv)
+                    self.mesh_err_aligned.feed(gv, aligned)
+                    self.f_scores.append(
+                        [float(fscore(jnp.asarray(gv), jnp.asarray(pv), t))
+                         for t in self.f_threshs]
+                    )
+                    self.f_scores_aligned.append(
+                        [float(fscore(jnp.asarray(gv), jnp.asarray(aligned), t))
+                         for t in self.f_threshs]
+                    )
+        self.total += n if cfg.dataset == "ho3d" else b
+
+    def write_results(self, log_dir: str) -> str:
+        path = os.path.join(log_dir, "results.txt")
+        with open(path, "w") as f:
+            for k, v in self.results.items():
+                print(k, ": ", v / max(self.total, 1), file=f)
+            if self.cfg.dataset == "dexycb" and self.cfg.eval_mesh:
+                m, _, auc, _, _ = self.mesh_err.get_measures(0.0, 0.05, 100)
+                print("Evaluation 3D MESH results:", file=f)
+                print("auc=%.3f, mean_vert3d_avg=%.2f cm" % (auc, m * 100), file=f)
+                ma, _, auca, _, _ = self.mesh_err_aligned.get_measures(0.0, 0.05, 100)
+                print("Evaluation 3D MESH ALIGNED results:", file=f)
+                print("auc=%.3f, mean_vert3d_avg=%.2f cm\n" % (auca, ma * 100), file=f)
+                print("F-scores", file=f)
+                fs = np.asarray(self.f_scores).T
+                fsa = np.asarray(self.f_scores_aligned).T
+                for row, rowa, t in zip(fs, fsa, self.f_threshs):
+                    print(
+                        "F@%.1fmm = %.3f" % (t * 1000, row.mean()),
+                        "\tF_aligned@%.1fmm = %.3f" % (t * 1000, rowa.mean()),
+                        file=f,
+                    )
+        return path
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--setting", default="dexycb")
+    p.add_argument("--ckpt", default=None, help="snapshot dir to restore")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--batches", type=int, default=2)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--out", default="outputs/result")
+    p.add_argument("--cpu", action="store_true")
+    args = p.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    overrides = {}
+    if args.synthetic:
+        overrides = dict(
+            resnet_type=18, hidden_dim=64, dim_feedforward=128, enc_layers=2,
+            dec_layers=2, num_samp_hand=32, num_samp_obj=16,
+            input_img_shape=(64, 64), output_hm_shape=(32, 32, 32), bins_n=16,
+            sdf_infer_chunk=2048, use_big_decoder=False,
+        )
+    cfg = get_config(args.setting, **overrides)
+
+    mano_model = (
+        load_mano_npz(cfg.mano_model_path) if cfg.mano_model_path
+        else make_synthetic_mano(0)
+    )
+    mano = ManoBuffers.from_model(mano_model)
+    model = build_model(cfg)
+
+    batch_np = synthetic_batch(cfg, args.batch_size, train=False)
+    inputs0, _ = split_inputs_targets(batch_np)
+    inputs0 = {k: jnp.asarray(v) for k, v in inputs0.items()}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, inputs0, use_presampled=False,
+        train=False, supervise_sdf=cfg.dataset == "dexycb",
+    )
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+    if args.ckpt:
+        restored = ckpt_util.restore_snapshot(
+            args.ckpt, {"params": params, "batch_stats": batch_stats,
+                        "opt_state": None, "step": 0},
+        )
+        if restored:
+            params, batch_stats = restored["params"], restored["batch_stats"]
+
+    eval_step = make_eval_step(cfg, model, mano)
+    evaluator = Evaluator(cfg, mano)
+
+    for i in range(args.batches):
+        batch_np = synthetic_batch(cfg, args.batch_size, seed=i, train=False)
+        inputs, targets = split_inputs_targets(batch_np)
+        inputs_j = {k: jnp.asarray(v) for k, v in inputs.items()}
+        preds = eval_step(params, batch_stats, inputs_j)
+        templates = jnp.asarray(
+            np.random.RandomState(0).randn(args.batch_size, 100, 3).astype(np.float32)
+            * 0.05
+        )
+        evaluator.feed(preds, targets, inputs, templates)
+
+    os.makedirs(args.out, exist_ok=True)
+    path = evaluator.write_results(args.out)
+    print("wrote", path)
+    with open(path) as f:
+        print(f.read())
+
+
+if __name__ == "__main__":
+    main()

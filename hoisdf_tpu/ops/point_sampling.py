@@ -152,7 +152,7 @@ def sdf_guided_sample_coarse2fine(
     """
     b = center.shape[0]
     cb = bins_n // coarse_factor
-    fine = make_lattice(bins_n)  # [N, 3]
+    fine = jnp.asarray(make_lattice(bins_n))  # [N, 3] (jnp: traced gathers below)
     fine_grid = fine.reshape(bins_n, bins_n, bins_n, 3)
     # Cell-center probes: mean of each coarse_factor^3 block.
     coarse = fine_grid.reshape(

@@ -1,0 +1,251 @@
+"""Training entry point: epoch loop, logging, periodic eval + snapshots.
+
+Parity target: ``main/train.py`` — CLI surface (:24-49: --run_dir_name,
+--continue, --end_epoch, --point_sampling_epoch, --lr_drop), cfg dump
+(:64-81), per-iteration loss logging with speed/ETA (:142-156), scalar
+logging every 400 iterations (:129-135), eval every 5 epochs (1 after the
+point-sampling switch) with snapshotting (:559-568), resume from the latest
+snapshot (--continue; common/base.py:120-150).
+
+Scalars land in ``metrics.jsonl`` (TensorBoard-free observability; load with
+pandas or point tensorboard at it via a converter).
+
+Usage:
+    python -m hoisdf_tpu.train_loop --setting dexycb --run_dir_name demo \
+        --synthetic --end_epoch 2 --iters-per-epoch 4 --batch-size 2 --cpu
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hoisdf_tpu.config import get_config
+from hoisdf_tpu.data.loader import DataLoader
+from hoisdf_tpu.data.synthetic import split_inputs_targets, synthetic_batch
+from hoisdf_tpu.evaluate import Evaluator
+from hoisdf_tpu.mano.layer import ManoBuffers
+from hoisdf_tpu.mano.model import load_mano_npz, make_synthetic_mano
+from hoisdf_tpu.models.hoisdf import build_model
+from hoisdf_tpu.parallel.mesh import make_mesh, shard_batch
+from hoisdf_tpu.train import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+    presample_gate,
+)
+from hoisdf_tpu.utils import checkpoint as ckpt_util
+from hoisdf_tpu.utils.logger import colorlogger
+from hoisdf_tpu.utils.timer import Timer
+
+
+class ScalarWriter:
+    """Append-only JSONL scalar log (TensorBoard-equivalent observability)."""
+
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self._f = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+
+    def add_scalars(self, step: int, scalars: Dict[str, float]) -> None:
+        self._f.write(
+            json.dumps({"step": step, **{k: float(v) for k, v in scalars.items()}})
+            + "\n"
+        )
+        self._f.flush()
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--setting", default="dexycb")
+    p.add_argument("--run_dir_name", default="run")
+    p.add_argument("--continue", dest="continue_train", action="store_true")
+    p.add_argument("--end_epoch", type=int, default=None)
+    p.add_argument("--point_sampling_epoch", type=int, default=None)
+    p.add_argument("--lr_drop", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--iters-per-epoch", type=int, default=None)
+    p.add_argument("--cpu", action="store_true")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    overrides = {}
+    if args.end_epoch is not None:
+        overrides["end_epoch"] = args.end_epoch
+    if args.point_sampling_epoch is not None:
+        overrides["point_sampling_epoch"] = args.point_sampling_epoch
+    if args.lr_drop is not None:
+        overrides["lr_drop"] = args.lr_drop
+    if args.batch_size is not None:
+        overrides["train_batch_size"] = args.batch_size
+    if args.synthetic:
+        overrides.update(
+            resnet_type=18, hidden_dim=64, dim_feedforward=128, enc_layers=2,
+            dec_layers=2, num_samp_hand=32, num_samp_obj=16,
+            input_img_shape=(64, 64), output_hm_shape=(32, 32, 32), bins_n=16,
+            sdf_infer_chunk=2048, use_big_decoder=False,
+        )
+    cfg = get_config(args.setting, **overrides)
+
+    out_root = os.path.join(cfg.output_dir, args.run_dir_name)
+    log_dir = os.path.join(out_root, "log")
+    model_dir = os.path.join(out_root, "model_dump")
+    os.makedirs(model_dir, exist_ok=True)
+    logger = colorlogger(log_dir, "train_logs.txt")
+    writer = ScalarWriter(os.path.join(out_root, "tensorboard"))
+
+    # cfg/args dump (main/train.py:64-81)
+    with open(os.path.join(log_dir, "cfg.txt"), "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
+    with open(os.path.join(log_dir, "args.txt"), "w") as f:
+        json.dump(vars(args), f, indent=2)
+
+    mano_model = (
+        load_mano_npz(cfg.mano_model_path) if cfg.mano_model_path
+        else make_synthetic_mano(0)
+    )
+    mano = ManoBuffers.from_model(mano_model)
+    model = build_model(cfg)
+
+    # ---- data ----
+    if args.synthetic:
+        iters_per_epoch = args.iters_per_epoch or 8
+        batch_size = cfg.train_batch_size
+
+        def batches(epoch):
+            for i in range(iters_per_epoch):
+                yield synthetic_batch(cfg, batch_size, seed=epoch * 10000 + i)
+    else:
+        if cfg.dataset == "dexycb":
+            from hoisdf_tpu.data.dexycb import DexYCBDataset
+
+            dataset = DexYCBDataset(cfg, "train", mano_model, seed=cfg.seed)
+        else:
+            from hoisdf_tpu.data.ho3d import HO3DDataset
+
+            dataset = HO3DDataset(cfg, "train", mano_model, seed=cfg.seed)
+        n_dev = len(jax.devices())
+        loader = DataLoader(
+            dataset, cfg.train_batch_size * n_dev, shuffle=True,
+            num_workers=cfg.num_data_workers, drop_last=True, seed=cfg.seed,
+        )
+        iters_per_epoch = args.iters_per_epoch or len(loader)
+
+        def batches(epoch):
+            loader.set_epoch(epoch)
+            yield from loader
+
+    # ---- state / resume ----
+    sample = synthetic_batch(cfg, 1, train=True)
+    s_inputs, _ = split_inputs_targets(sample)
+    state = create_train_state(
+        cfg, model, jax.random.PRNGKey(cfg.seed),
+        {k: jnp.asarray(v) for k, v in s_inputs.items()}, iters_per_epoch,
+    )
+    start_epoch = 0
+    if args.continue_train:
+        restored = ckpt_util.restore_snapshot(
+            model_dir,
+            {"params": state.params, "batch_stats": state.batch_stats,
+             "opt_state": state.opt_state, "step": state.step},
+        )
+        if restored is not None:
+            state = state.replace(
+                params=restored["params"], batch_stats=restored["batch_stats"],
+                opt_state=restored["opt_state"], step=restored["step"],
+            )
+            start_epoch = restored["epoch"] + 1
+            logger.info(f"resumed from epoch {restored['epoch']}")
+
+    mesh = make_mesh()
+    train_step = make_train_step(cfg, model, mano)
+    eval_step = make_eval_step(cfg, model, mano)
+    rng = jax.random.PRNGKey(cfg.seed + 1)
+    host_rng = np.random.default_rng(cfg.seed + 2)
+
+    tot_timer, step_timer = Timer(), Timer()
+
+    with mesh:
+        for epoch in range(start_epoch, cfg.end_epoch):
+            for itr, batch_np in enumerate(batches(epoch)):
+                tot_timer.tic()
+                batch_ratio = itr / max(iters_per_epoch, 1)
+                use_pre, dist_range = presample_gate(
+                    cfg, epoch, batch_ratio, float(host_rng.random())
+                )
+                if not use_pre and "hand_pre_points" in batch_np:
+                    pass  # sdf_infer branch ignores pre points
+                inputs, targets = split_inputs_targets(batch_np)
+                inputs = shard_batch(inputs, mesh)
+                targets = shard_batch(targets, mesh)
+                step_timer.tic()
+                state, losses = train_step(
+                    state, inputs, targets, rng, jnp.asarray(dist_range),
+                    use_presampled=use_pre,
+                )
+                total = float(losses["total"])
+                step_timer.toc()
+                if itr % 400 == 0:
+                    writer.add_scalars(
+                        int(state.step), {f"train_{k}": v for k, v in losses.items()}
+                    )
+                tot_timer.toc()
+                logger.info(
+                    "Epoch %d/%d itr %d/%d: speed %.2f(%.2f)s/itr %.2fh/epoch "
+                    "loss %.4f"
+                    % (epoch, cfg.end_epoch, itr, iters_per_epoch,
+                       tot_timer.average_time, step_timer.average_time,
+                       tot_timer.average_time * iters_per_epoch / 3600, total)
+                )
+
+            save_gap = 1 if epoch >= cfg.point_sampling_epoch else 5
+            if epoch % save_gap == 0 or epoch == cfg.end_epoch - 1:
+                ckpt_util.save_snapshot(
+                    model_dir, epoch,
+                    {"params": state.params, "batch_stats": state.batch_stats,
+                     "opt_state": state.opt_state, "step": state.step},
+                )
+                logger.info(f"snapshot saved at epoch {epoch}")
+                if args.synthetic:
+                    ev = Evaluator(cfg, mano)
+                    eb = synthetic_batch(cfg, 2, seed=999, train=False)
+                    e_in, e_tg = split_inputs_targets(eb)
+                    preds = eval_step(
+                        state.params, state.batch_stats,
+                        {k: jnp.asarray(v) for k, v in e_in.items()},
+                    )
+                    templates = jnp.asarray(
+                        np.random.RandomState(0).randn(2, 100, 3).astype(np.float32)
+                        * 0.05
+                    )
+                    ev.feed(preds, e_tg, e_in, templates)
+                    writer.add_scalars(
+                        int(state.step),
+                        {k: v / max(ev.total, 1) for k, v in ev.results.items()},
+                    )
+                    logger.info(
+                        "eval: "
+                        + " ".join(
+                            f"{k}={v / max(ev.total, 1):.3f}"
+                            for k, v in ev.results.items()
+                        )
+                    )
+
+    logger.info("training done")
+
+
+if __name__ == "__main__":
+    main()
