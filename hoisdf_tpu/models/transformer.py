@@ -88,9 +88,9 @@ class EncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, src, pos, src_mask=None, *, train: bool = False):
         qk = src + pos
-        attn_out, _ = MultiheadAttention(self.d_model, self.nhead, self.dropout)(
-            qk, qk, src, attn_mask=src_mask, train=train
-        )
+        attn_out, _ = MultiheadAttention(
+            self.d_model, self.nhead, self.dropout, name="self_attn"
+        )(qk, qk, src, attn_mask=src_mask, train=train)
         src = src + nn.Dropout(self.dropout, deterministic=not train)(attn_out)
         src = nn.LayerNorm(name="norm1")(src)
         ff = nn.Dense(self.dim_feedforward, name="linear1")(src)

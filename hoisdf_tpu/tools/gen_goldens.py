@@ -205,6 +205,64 @@ def _gen_rotations(out_dir: str) -> None:
     print("wrote rotations.npz")
 
 
+def _gen_transformer(out_dir: str) -> None:
+    """Golden: the reference DETR transformer + vote transformer end-to-end
+    (common/nets/transformer.py), small dims, eval mode, with the MANO masks."""
+    import torch
+
+    sys.path.insert(0, REFERENCE)
+    from common.nets.transformer import Transformer as RefT
+    from common.nets.transformer import VoteTransformer as RefVT
+
+    torch.manual_seed(21)
+    d, nh, ffn = 32, 4, 64
+    n_hand, n_obj, n_q = 12, 4, 17
+    model = RefT(
+        d_model=d, nhead=nh, num_encoder_layers=2, num_decoder_layers=2,
+        dim_feedforward=ffn, dropout=0.0, return_intermediate_dec=True,
+    )
+    model.eval()
+    vote = RefVT(
+        d_model=d, nhead=nh, num_encoder_layers=2, dim_feedforward=ffn,
+        dropout=0.0, return_intermediate_dec=True,
+    )
+    vote.eval()
+
+    src = torch.randn(n_hand + n_obj, 2, d)  # [S, B, C] seq-first
+    pos = torch.zeros_like(src)
+    query = torch.randn(n_q, d)
+    tgt_mask = torch.zeros(n_q, n_q, dtype=torch.bool)
+    tgt_mask[0, :] = True
+    tgt_mask[0, 0] = False
+    for i in range(5):
+        s, e = 3 * i + 1, 3 * i + 4
+        tgt_mask[s:e, :] = True
+        tgt_mask[s:e, s:e] = False
+    tgt_mask[16, :] = True
+    tgt_mask[16, 16] = False
+    memory_mask = torch.zeros(n_q, n_hand + n_obj, dtype=torch.bool)
+    memory_mask[:, n_hand:] = True
+
+    with torch.no_grad():
+        hs, memory, inter, attn = model(
+            src=src, mask=None, pos_embed=pos, src_mask=None,
+            query_embed=query, tgt_mask=tgt_mask, memory_mask=memory_mask,
+        )
+        vmem, vinter = vote(src=src, mask=None, pos_embed=pos, src_mask=None)
+
+    state = {f"t.{k}": v.numpy() for k, v in model.state_dict().items()}
+    state.update({f"v.{k}": v.numpy() for k, v in vote.state_dict().items()})
+    np.savez(
+        os.path.join(out_dir, "transformer.npz"),
+        src=src.numpy(), query=query.numpy(),
+        tgt_mask=tgt_mask.numpy(), memory_mask=memory_mask.numpy(),
+        hs=hs.numpy(), memory=memory.numpy(), inter=inter.numpy(),
+        attn=torch.stack(attn).numpy(), vmem=vmem.numpy(),
+        vinter=vinter.numpy(), **state,
+    )
+    print("wrote transformer.npz")
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--out", default="tests/golden")
@@ -215,6 +273,7 @@ def main() -> None:
     _gen_mha(args.out)
     _gen_sdf_decoder(args.out)
     _gen_rotations(args.out)
+    _gen_transformer(args.out)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,123 @@
+"""Checkpoint converter: full reference-transformer parity through the
+converted weights, plus backbone round-trip mapping."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hoisdf_tpu.models.transformer import Transformer, VoteTransformer
+from hoisdf_tpu.tools.convert_torch_ckpt import (
+    convert_state_dict,
+    convert_torchvision_resnet,
+)
+
+
+def test_transformer_converted_weights_match_reference(golden):
+    g = golden("transformer")
+    state = {}
+    for k in g.files:
+        if k.startswith("t."):
+            state["hand_transformer." + k[2:]] = g[k]
+        elif k.startswith("v."):
+            state["obj_transformer." + k[2:]] = g[k]
+    params, stats = convert_state_dict(state)
+    assert not stats  # transformers have no BN
+
+    d, nh = 32, 4
+    model = Transformer(
+        d_model=d, nhead=nh, num_encoder_layers=2, num_decoder_layers=2,
+        dim_feedforward=64, dropout=0.0,
+    )
+    src = jnp.asarray(g["src"]).transpose(1, 0, 2)  # [S,B,C] -> [B,S,C]
+    pos = jnp.zeros_like(src)
+    hs, memory, inter, attn = model.apply(
+        {"params": params["hand_transformer"]}, src, pos,
+        jnp.asarray(g["query"]), jnp.asarray(g["tgt_mask"]),
+        jnp.asarray(g["memory_mask"]),
+    )
+    # reference layouts: hs [L,Q,B,C]; memory [S,B,C]; inter [L,S,B,C]
+    np.testing.assert_allclose(
+        np.asarray(hs), g["hs"].transpose(0, 2, 1, 3), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(memory), g["memory"].transpose(1, 0, 2), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(inter), g["inter"].transpose(0, 2, 1, 3), atol=2e-5
+    )
+    np.testing.assert_allclose(np.asarray(attn), g["attn"], atol=2e-5)
+
+    vote = VoteTransformer(
+        d_model=d, nhead=nh, num_encoder_layers=2, dim_feedforward=64, dropout=0.0
+    )
+    vmem, vinter = vote.apply({"params": params["obj_transformer"]}, src, pos)
+    np.testing.assert_allclose(
+        np.asarray(vmem), g["vmem"].transpose(1, 0, 2), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(vinter), g["vinter"].transpose(0, 2, 1, 3), atol=2e-5
+    )
+
+
+def _fake_torchvision_resnet18_state():
+    """Shape-correct random torchvision resnet18 state dict."""
+    rng = np.random.RandomState(0)
+    state = {}
+
+    def conv(name, o, i, k):
+        state[name + ".weight"] = rng.randn(o, i, k, k).astype(np.float32) * 0.01
+
+    def bn(name, c):
+        state[name + ".weight"] = np.ones(c, np.float32)
+        state[name + ".bias"] = np.zeros(c, np.float32)
+        state[name + ".running_mean"] = np.zeros(c, np.float32)
+        state[name + ".running_var"] = np.ones(c, np.float32)
+        state[name + ".num_batches_tracked"] = np.asarray(0)
+
+    conv("conv1", 64, 3, 7)
+    bn("bn1", 64)
+    inplanes = 64
+    for stage, planes in enumerate((64, 128, 256, 512), start=1):
+        for b in range(2):
+            pre = f"layer{stage}.{b}"
+            stride_block = b == 0 and stage > 1
+            conv(f"{pre}.conv1", planes, inplanes if b == 0 else planes, 3)
+            bn(f"{pre}.bn1", planes)
+            conv(f"{pre}.conv2", planes, planes, 3)
+            bn(f"{pre}.bn2", planes)
+            if stride_block:
+                conv(f"{pre}.downsample.0", planes, inplanes, 1)
+                bn(f"{pre}.downsample.1", planes)
+            if b == 0:
+                inplanes = planes
+    state["fc.weight"] = rng.randn(1000, 512).astype(np.float32)
+    state["fc.bias"] = np.zeros(1000, np.float32)
+    return state
+
+
+def test_torchvision_resnet_conversion_loads():
+    from hoisdf_tpu.models.resnet import ResNetBackbone
+
+    state = _fake_torchvision_resnet18_state()
+    params, stats = convert_torchvision_resnet(state)
+
+    model = ResNetBackbone(resnet_type=18)
+    img = jnp.ones((1, 32, 32, 3))
+    init = model.init(jax.random.PRNGKey(0), img)
+    # converted trees must match the initialized structure exactly
+    want_p = jax.tree_util.tree_structure(init["params"])
+    got_p = jax.tree_util.tree_structure({"backbone": params["backbone"]})
+    # init params have no 'backbone' wrapper; compare leaf path sets instead
+    init_paths = {
+        jax.tree_util.keystr(p)
+        for p, _ in jax.tree_util.tree_flatten_with_path(init["params"])[0]
+    }
+    conv_paths = {
+        jax.tree_util.keystr(p).replace("['backbone']", "")
+        for p, _ in jax.tree_util.tree_flatten_with_path(params["backbone"])[0]
+    }
+    assert init_paths == conv_paths, init_paths ^ conv_paths
+    out, skips = model.apply(
+        {"params": params["backbone"], "batch_stats": stats["backbone"]}, img
+    )
+    assert out.shape == (1, 1, 1, 512)
