@@ -30,6 +30,12 @@ def main() -> None:
         "--sdf-infer-mode", default="coarse2fine", choices=["full", "coarse2fine"],
         help="field-guided sampling strategy (coarse2fine ~7x fewer SDF evals)",
     )
+    parser.add_argument(
+        "--dtype", default="bfloat16", choices=["float32", "bfloat16"],
+        help="activation compute dtype for the conv/attention/SDF hot path",
+    )
+    parser.add_argument("--no-fused", action="store_true",
+                        help="disable the fused Pallas SDF-MLP kernel")
     args = parser.parse_args()
 
     import jax
@@ -54,7 +60,10 @@ def main() -> None:
         )
         args.batch = min(args.batch, 4)
     else:
-        cfg = get_config("dexycb", sdf_infer_mode=args.sdf_infer_mode)
+        cfg = get_config(
+            "dexycb", sdf_infer_mode=args.sdf_infer_mode,
+            compute_dtype=args.dtype, fused_sdf_infer=not args.no_fused,
+        )
 
     model = build_model(cfg)
     mano = ManoBuffers.from_model(make_synthetic_mano(0))

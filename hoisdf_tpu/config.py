@@ -118,6 +118,9 @@ class Config:
     sdf_infer_chunk: int = 32768  # lattice points per scan step in "full" mode
     coarse_bins: int = 16
     coarse_keep_cells: int = 512
+    # Fused Pallas SDF-MLP kernel inside sdf_infer (TPU only; the training
+    # path keeps the flax module for grads + dropout).
+    fused_sdf_infer: bool = True
     mesh_axis_data: str = "data"
     num_data_workers: int = 15
     seed: int = 0

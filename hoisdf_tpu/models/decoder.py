@@ -13,7 +13,7 @@ so torch checkpoints convert by pure transposition); concat order is
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +22,7 @@ from flax import linen as nn
 from hoisdf_tpu.models.resnet import _BN
 
 
-def _deconv(features: int, name: str):
+def _deconv(features: int, name: str, dtype: Any = None):
     return nn.ConvTranspose(
         features,
         (4, 4),
@@ -30,6 +30,7 @@ def _deconv(features: int, name: str):
         padding="SAME",
         transpose_kernel=True,
         use_bias=False,
+        dtype=dtype,
         name=name,
     )
 
@@ -38,6 +39,7 @@ class ConvBNRelu(nn.Module):
     features: int
     kernel: int = 3
     bn_axis: Optional[str] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -46,20 +48,22 @@ class ConvBNRelu(nn.Module):
             self.features,
             (self.kernel, self.kernel),
             padding=((pad, pad), (pad, pad)),
+            dtype=self.dtype,
             name="conv",
         )(x)
-        x = _BN(self.bn_axis, name="bn")(x, train)
+        x = _BN(self.bn_axis, self.dtype, name="bn")(x, train)
         return nn.relu(x)
 
 
 class DeconvBNRelu(nn.Module):
     features: int
     bn_axis: Optional[str] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        x = _deconv(self.features, "deconv")(x)
-        x = _BN(self.bn_axis, name="bn")(x, train)
+        x = _deconv(self.features, "deconv", self.dtype)(x)
+        x = _BN(self.bn_axis, self.dtype, name="bn")(x, train)
         return nn.relu(x)
 
 
@@ -68,6 +72,7 @@ class _Heads(nn.Module):
 
     dims: Tuple[int, ...]  # hidden dims of each chain, e.g. (32,) or (128, 64)
     bn_axis: Optional[str] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -75,8 +80,10 @@ class _Heads(nn.Module):
         for head_i, head in enumerate(("hm", "hand_seg", "obj_seg")):
             h = x
             for j, d in enumerate(self.dims):
-                h = ConvBNRelu(d, 1, self.bn_axis, name=f"{head}_{j}")(h, train=train)
-            h = nn.Conv(1, (1, 1), name=f"{head}_out")(h)
+                h = ConvBNRelu(d, 1, self.bn_axis, self.dtype, name=f"{head}_{j}")(
+                    h, train=train
+                )
+            h = nn.Conv(1, (1, 1), dtype=self.dtype, name=f"{head}_out")(h)
             if head_i > 0:
                 h = nn.sigmoid(h)
             outs.append(h)
@@ -87,13 +94,14 @@ class Decoder(nn.Module):
     """Compressed decoder (module.py:51-144), resnet>=50 path."""
 
     bn_axis: Optional[str] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(
         self, img_feat: jax.Array, skips: Dict[str, jax.Array], *, train: bool = False
     ) -> Tuple[Dict[str, jax.Array], jax.Array]:
         pyr = {}
-        pyr["stride32"] = ConvBNRelu(512, 1, self.bn_axis, name="conv0d")(
+        pyr["stride32"] = ConvBNRelu(512, 1, self.bn_axis, self.dtype, name="conv0d")(
             img_feat, train=train
         )
 
@@ -105,18 +113,18 @@ class Decoder(nn.Module):
             ("stride2", 32, 64, 32),
         ]
         for i, (name, skip_dim, deconv_dim, fuse_dim) in enumerate(spec, start=1):
-            skip = ConvBNRelu(skip_dim, 1, self.bn_axis, name=f"conv{i}d")(
+            skip = ConvBNRelu(skip_dim, 1, self.bn_axis, self.dtype, name=f"conv{i}d")(
                 skips[name], train=train
             )
-            up = DeconvBNRelu(deconv_dim, self.bn_axis, name=f"deconv{i}")(
+            up = DeconvBNRelu(deconv_dim, self.bn_axis, self.dtype, name=f"deconv{i}")(
                 x, train=train
             )
-            x = ConvBNRelu(fuse_dim, 3, self.bn_axis, name=f"conv{i}")(
+            x = ConvBNRelu(fuse_dim, 3, self.bn_axis, self.dtype, name=f"conv{i}")(
                 jnp.concatenate([skip, up], axis=-1), train=train
             )
             pyr[name] = x
 
-        heads = _Heads((32,), self.bn_axis, name="heads")(x, train=train)
+        heads = _Heads((32,), self.bn_axis, self.dtype, name="heads")(x, train=train)
         return pyr, heads
 
 
@@ -124,6 +132,7 @@ class DecoderBig(nn.Module):
     """Full-width decoder (module.py:147-218), the ho3d preset."""
 
     bn_axis: Optional[str] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -133,11 +142,13 @@ class DecoderBig(nn.Module):
         x = img_feat
         spec = [("stride16", 1024), ("stride8", 512), ("stride4", 256), ("stride2", 128)]
         for i, (name, dim) in enumerate(spec, start=1):
-            up = DeconvBNRelu(dim, self.bn_axis, name=f"deconv{i}")(x, train=train)
-            x = ConvBNRelu(dim, 3, self.bn_axis, name=f"conv{i}")(
+            up = DeconvBNRelu(dim, self.bn_axis, self.dtype, name=f"deconv{i}")(
+                x, train=train
+            )
+            x = ConvBNRelu(dim, 3, self.bn_axis, self.dtype, name=f"conv{i}")(
                 jnp.concatenate([skips[name], up], axis=-1), train=train
             )
             pyr[name] = x
 
-        heads = _Heads((128, 64), self.bn_axis, name="heads")(x, train=train)
+        heads = _Heads((128, 64), self.bn_axis, self.dtype, name="heads")(x, train=train)
         return pyr, heads

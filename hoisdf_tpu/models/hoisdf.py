@@ -43,6 +43,7 @@ from hoisdf_tpu.ops.grid_sample import (
     project_points,
 )
 from hoisdf_tpu.ops.nerf import nerf_positional_encoding
+from hoisdf_tpu.ops.pallas.sdf_mlp import fold_weight_norm, sdf_mlp_fused
 from hoisdf_tpu.ops.point_sampling import (
     sdf_guided_sample,
     sdf_guided_sample_coarse2fine,
@@ -57,11 +58,12 @@ class MLP(nn.Module):
 
     features: Sequence[int]
     relu_last: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         for i, f in enumerate(self.features):
-            x = nn.Dense(f, name=f"layers_{i}")(x)
+            x = nn.Dense(f, dtype=self.dtype, name=f"layers_{i}")(x)
             if i < len(self.features) - 1 or self.relu_last:
                 x = nn.relu(x)
         return x
@@ -81,26 +83,32 @@ class HOISDF(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.backbone = ResNetBackbone(c.resnet_type, self.bn_axis)
+        dt = jnp.dtype(c.compute_dtype) if c.compute_dtype != "float32" else None
+        self.compute_dt = dt
+        self.backbone = ResNetBackbone(c.resnet_type, self.bn_axis, dt)
         self.decoder_net = (
-            DecoderBig(self.bn_axis) if c.use_big_decoder else Decoder(self.bn_axis)
+            DecoderBig(self.bn_axis, dt) if c.use_big_decoder
+            else Decoder(self.bn_axis, dt)
         )
         self.hand_sdf_decoder = SDFDecoder(
-            c.hidden_dim, c.point_feat_size, use_classifier=c.classifier_branch
+            c.hidden_dim, c.point_feat_size, use_classifier=c.classifier_branch,
+            dtype=dt,
         )
         self.obj_sdf_decoder = SDFDecoder(
-            c.hidden_dim, c.point_feat_size, use_classifier=c.classifier_branch
+            c.hidden_dim, c.point_feat_size, use_classifier=c.classifier_branch,
+            dtype=dt,
         )
         self.hand_transformer = Transformer(
             c.hidden_dim, c.nheads, c.enc_layers, c.dec_layers,
-            c.dim_feedforward, c.dropout,
+            c.dim_feedforward, c.dropout, dt,
         )
         self.obj_transformer = VoteTransformer(
-            c.hidden_dim, c.nheads, c.enc_layers // 2, c.dim_feedforward, c.dropout
+            c.hidden_dim, c.nheads, c.enc_layers // 2, c.dim_feedforward,
+            c.dropout, dt,
         )
         out_dim = c.hidden_dim - c.point_feat_size  # 223: room for posenc+xyz
-        self.linear_transformerin = MLP((1024, 512, 256, out_dim), relu_last=True)
-        self.linear_sdfin = MLP((512, c.hidden_dim), relu_last=True)
+        self.linear_transformerin = MLP((1024, 512, 256, out_dim), relu_last=True, dtype=dt)
+        self.linear_sdfin = MLP((512, c.hidden_dim), relu_last=True, dtype=dt)
         self.hand_sigmoid_beta = self.param(
             "hand_sigmoid_beta", nn.initializers.constant(0.1), (1,)
         )
@@ -114,12 +122,12 @@ class HOISDF(nn.Module):
             (n_queries, c.hidden_dim),
         )
         if not c.use_inverse_kinematics:
-            self.linear_pose = MLP((c.hidden_dim, c.hidden_dim, 6))
-        self.linear_shape = MLP((c.hidden_dim, c.hidden_dim, 10))
-        self.linear_handvote = MLP((c.hidden_dim,) * 3 + (20 * 3,))
-        self.linear_handcls = MLP((c.hidden_dim, c.hidden_dim, 20))
-        self.linear_obj_rel_trans = MLP((c.hidden_dim, c.hidden_dim, 3))
-        self.linear_obj_rot = MLP((c.hidden_dim, c.hidden_dim, 3))
+            self.linear_pose = MLP((c.hidden_dim, c.hidden_dim, 6), dtype=dt)
+        self.linear_shape = MLP((c.hidden_dim, c.hidden_dim, 10), dtype=dt)
+        self.linear_handvote = MLP((c.hidden_dim,) * 3 + (20 * 3,), dtype=dt)
+        self.linear_handcls = MLP((c.hidden_dim, c.hidden_dim, 20), dtype=dt)
+        self.linear_obj_rel_trans = MLP((c.hidden_dim, c.hidden_dim, 3), dtype=dt)
+        self.linear_obj_rot = MLP((c.hidden_dim, c.hidden_dim, 3), dtype=dt)
         # NOTE: the reference also constructs linear_objvote / linear_objcls
         # but never calls them (main/model.py:86-87; SURVEY.md "dead heads");
         # they are intentionally omitted here.
@@ -142,6 +150,22 @@ class HOISDF(nn.Module):
         feats = multiscale_point_features(pyramid, grid, self.cfg.multiscale_layers)
         return self.linear_transformerin(feats), cam_pts
 
+    def _sdf_decoder_inputs(
+        self, pyramid, points_scaled, center, cam_intr, sdf_scale
+    ):
+        """Assemble the flat [B*P, 289] decoder inputs + posenc."""
+        c = self.cfg
+        grid, _ = self._gather_grid(points_scaled, center, cam_intr, sdf_scale)
+        feats = multiscale_point_features(pyramid, grid, c.multiscale_layers)
+        points_fea = self.linear_sdfin(feats)
+        posenc = nerf_positional_encoding(points_scaled, c.nerf_num_freqs)
+        dec_in = jnp.concatenate(
+            [points_fea.astype(jnp.float32), posenc, points_scaled], axis=-1
+        )
+        if self.compute_dt is not None:
+            dec_in = dec_in.astype(self.compute_dt)
+        return dec_in.reshape(-1, dec_in.shape[-1]), posenc
+
     def sdf_forward(
         self, pyramid, points_scaled, center, cam_intr, sdf_scale, which,
         *, train=False, clamp=True,
@@ -149,15 +173,12 @@ class HOISDF(nn.Module):
         """SDF field query at arbitrary scaled-frame points
         (main/model.py:181-244).  Returns (sdf [B,P,1], class logits, posenc)."""
         c = self.cfg
-        grid, _ = self._gather_grid(points_scaled, center, cam_intr, sdf_scale)
-        feats = multiscale_point_features(pyramid, grid, c.multiscale_layers)
-        points_fea = self.linear_sdfin(feats)
-        posenc = nerf_positional_encoding(points_scaled, c.nerf_num_freqs)
-        dec_in = jnp.concatenate([points_fea, posenc, points_scaled], axis=-1)
-        flat = dec_in.reshape(-1, dec_in.shape[-1])
+        flat, posenc = self._sdf_decoder_inputs(
+            pyramid, points_scaled, center, cam_intr, sdf_scale
+        )
         decoder = self.hand_sdf_decoder if which == "hand" else self.obj_sdf_decoder
         sdf, cls = decoder(flat, train=train)
-        sdf = sdf.reshape(*points_scaled.shape[:2], 1)
+        sdf = sdf.reshape(*points_scaled.shape[:2], 1).astype(jnp.float32)
         if clamp:
             sdf = jnp.clip(sdf, -c.clamping_distance, c.clamping_distance)
         if cls is not None:
@@ -182,7 +203,21 @@ class HOISDF(nn.Module):
                 train=train, clamp=False,
             )
 
+        decoder = self.hand_sdf_decoder if which == "hand" else self.obj_sdf_decoder
+        use_fused = (
+            c.fused_sdf_infer
+            and not self.is_initializing()
+            and jax.default_backend() in ("tpu", "axon")
+        )
+        folded = fold_weight_norm(decoder.variables["params"]) if use_fused else None
+
         def sdf_fn(pts):  # [B, C, 3] -> [B, C]; raw sdf like the reference sort
+            if use_fused:
+                flat, _ = self._sdf_decoder_inputs(
+                    pyramid, pts, center, cam_intr, sdf_scale
+                )
+                sdf = sdf_mlp_fused(flat, folded).astype(jnp.float32)
+                return sdf.reshape(pts.shape[0], pts.shape[1])
             sdf, _, _ = self.sdf_forward(
                 pyramid, pts, center, cam_intr, sdf_scale, which,
                 train=train, clamp=False,
@@ -225,9 +260,12 @@ class HOISDF(nn.Module):
         obj_center = batch["obj_center_cam"]
         cam_intr = batch["cam_intr"]
 
-        img_feat, skips = self.backbone(batch["img"], train=train)
+        img = batch["img"]
+        if self.compute_dt is not None:
+            img = img.astype(self.compute_dt)
+        img_feat, skips = self.backbone(img, train=train)
         pyramid, heads = self.decoder_net(img_feat, skips, train=train)
-        out["decoder_heads"] = heads  # [B,128,128,3]: hm, hand_seg, obj_seg
+        out["decoder_heads"] = heads.astype(jnp.float32)
 
         if supervise_sdf:
             # SDF supervision at the dataset's sampled points (model.py:370-401)
@@ -329,6 +367,9 @@ class HOISDF(nn.Module):
         obj_src = jnp.concatenate(
             [obj_tokens, jax.lax.stop_gradient(hand_o_tokens)], axis=1
         )
+        if self.compute_dt is not None:
+            hand_src = hand_src.astype(self.compute_dt)
+            obj_src = obj_src.astype(self.compute_dt)
         pos = jnp.zeros_like(hand_src)
 
         if c.use_inverse_kinematics:
@@ -348,20 +389,21 @@ class HOISDF(nn.Module):
         )
 
         # Heads (model.py:586-604)
+        f32 = lambda x: x.astype(jnp.float32)
         hand_enc_hand = hand_enc_out[:, :, : c.num_samp_hand]
-        out["hand_off"] = self.linear_handvote(hand_enc_hand)  # [L,B,600,60]
-        out["hand_cls"] = self.linear_handcls(hand_enc_hand)  # [L,B,600,20]
+        out["hand_off"] = f32(self.linear_handvote(hand_enc_hand))  # [L,B,600,60]
+        out["hand_cls"] = f32(self.linear_handcls(hand_enc_hand))  # [L,B,600,20]
         obj_enc_obj = obj_enc_out[:, :, : c.num_samp_obj]
-        out["obj_rot"] = self.linear_obj_rot(obj_enc_obj)  # [L,B,200,3]
-        out["obj_trans"] = self.linear_obj_rel_trans(obj_enc_obj)
+        out["obj_rot"] = f32(self.linear_obj_rot(obj_enc_obj))  # [L,B,200,3]
+        out["obj_trans"] = f32(self.linear_obj_rel_trans(obj_enc_obj))
 
         if c.use_inverse_kinematics:
-            out["mano_shape"] = self.linear_shape(hs[:, :, 0])  # [L,B,10]
+            out["mano_shape"] = f32(self.linear_shape(hs[:, :, 0]))  # [L,B,10]
         else:
-            out["mano_pose6d"] = self.linear_pose(
+            out["mano_pose6d"] = f32(self.linear_pose(
                 hs[:, :, : c.mano_shape_indx]
-            )  # [L,B,16,6]
-            out["mano_shape"] = self.linear_shape(hs[:, :, c.mano_shape_indx])
+            ))  # [L,B,16,6]
+            out["mano_shape"] = f32(self.linear_shape(hs[:, :, c.mano_shape_indx]))
 
         out["hand_points_notrans"] = hand_points_notrans
         out["hand_points"] = hand_points

@@ -28,9 +28,13 @@ RESNET_SPECS = {
 
 
 class _BN(nn.Module):
-    """BatchNorm matching torch defaults (eps 1e-5, momentum 0.1)."""
+    """BatchNorm matching torch defaults (eps 1e-5, momentum 0.1).
+
+    Stats are always accumulated in f32 (flax default) even when activations
+    are bf16; `dtype` controls the output/compute dtype."""
 
     axis_name: Optional[str] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -39,11 +43,13 @@ class _BN(nn.Module):
             momentum=0.9,
             epsilon=1e-5,
             axis_name=self.axis_name if train else None,
+            dtype=self.dtype,
             name="bn",
         )(x)
 
 
-def _conv(features: int, kernel: int, stride: int = 1, name: str | None = None):
+def _conv(features: int, kernel: int, stride: int = 1, name: str | None = None,
+          dtype: Any = None):
     pad = kernel // 2
     return nn.Conv(
         features,
@@ -51,6 +57,7 @@ def _conv(features: int, kernel: int, stride: int = 1, name: str | None = None):
         strides=(stride, stride),
         padding=((pad, pad), (pad, pad)),
         use_bias=False,
+        dtype=dtype,
         name=name,
     )
 
@@ -60,18 +67,19 @@ class BasicBlock(nn.Module):
     stride: int = 1
     has_downsample: bool = False
     bn_axis: Optional[str] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         identity = x
-        out = _conv(self.planes, 3, self.stride, name="conv1")(x)
-        out = _BN(self.bn_axis, name="bn1")(out, train)
+        out = _conv(self.planes, 3, self.stride, name="conv1", dtype=self.dtype)(x)
+        out = _BN(self.bn_axis, self.dtype, name="bn1")(out, train)
         out = nn.relu(out)
-        out = _conv(self.planes, 3, 1, name="conv2")(out)
-        out = _BN(self.bn_axis, name="bn2")(out, train)
+        out = _conv(self.planes, 3, 1, name="conv2", dtype=self.dtype)(out)
+        out = _BN(self.bn_axis, self.dtype, name="bn2")(out, train)
         if self.has_downsample:
-            identity = _conv(self.planes, 1, self.stride, name="downsample_conv")(x)
-            identity = _BN(self.bn_axis, name="downsample_bn")(identity, train)
+            identity = _conv(self.planes, 1, self.stride, name="downsample_conv", dtype=self.dtype)(x)
+            identity = _BN(self.bn_axis, self.dtype, name="downsample_bn")(identity, train)
         return nn.relu(out + identity)
 
 
@@ -80,24 +88,26 @@ class Bottleneck(nn.Module):
     stride: int = 1
     has_downsample: bool = False
     bn_axis: Optional[str] = None
+    dtype: Any = None
     expansion: int = 4
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
         identity = x
-        out = _conv(self.planes, 1, 1, name="conv1")(x)
-        out = _BN(self.bn_axis, name="bn1")(out, train)
+        out = _conv(self.planes, 1, 1, name="conv1", dtype=self.dtype)(x)
+        out = _BN(self.bn_axis, self.dtype, name="bn1")(out, train)
         out = nn.relu(out)
-        out = _conv(self.planes, 3, self.stride, name="conv2")(out)
-        out = _BN(self.bn_axis, name="bn2")(out, train)
+        out = _conv(self.planes, 3, self.stride, name="conv2", dtype=self.dtype)(out)
+        out = _BN(self.bn_axis, self.dtype, name="bn2")(out, train)
         out = nn.relu(out)
-        out = _conv(self.planes * self.expansion, 1, 1, name="conv3")(out)
-        out = _BN(self.bn_axis, name="bn3")(out, train)
+        out = _conv(self.planes * self.expansion, 1, 1, name="conv3", dtype=self.dtype)(out)
+        out = _BN(self.bn_axis, self.dtype, name="bn3")(out, train)
         if self.has_downsample:
             identity = _conv(
-                self.planes * self.expansion, 1, self.stride, name="downsample_conv"
+                self.planes * self.expansion, 1, self.stride,
+                name="downsample_conv", dtype=self.dtype,
             )(x)
-            identity = _BN(self.bn_axis, name="downsample_bn")(identity, train)
+            identity = _BN(self.bn_axis, self.dtype, name="downsample_bn")(identity, train)
         return nn.relu(out + identity)
 
 
@@ -106,6 +116,7 @@ class ResNetBackbone(nn.Module):
 
     resnet_type: int = 50
     bn_axis: Optional[str] = None
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -118,9 +129,9 @@ class ResNetBackbone(nn.Module):
         skips = {}
         x = nn.Conv(
             64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)), use_bias=False,
-            name="conv1",
+            dtype=self.dtype, name="conv1",
         )(img)
-        x = _BN(self.bn_axis, name="bn1")(x, train)
+        x = _BN(self.bn_axis, self.dtype, name="bn1")(x, train)
         x = nn.relu(x)
         skips["stride2"] = x
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -134,7 +145,8 @@ class ResNetBackbone(nn.Module):
                 s = stride if b == 0 else 1
                 need_ds = b == 0 and (s != 1 or inplanes != planes * expansion)
                 x = block_cls(
-                    planes, s, need_ds, self.bn_axis, name=f"layer{stage}_{b}"
+                    planes, s, need_ds, self.bn_axis, self.dtype,
+                    name=f"layer{stage}_{b}",
                 )(x, train=train)
                 inplanes = planes * expansion
             skips[f"stride{2 ** (stage + 1)}"] = x

@@ -13,7 +13,7 @@ norm is folded at call time (g * v / ||v||), which XLA fuses into the matmul.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -60,6 +60,7 @@ class SDFDecoder(nn.Module):
     dropout_layers: Sequence[int] = (0, 1, 2, 3)
     latent_in: Sequence[int] = (2,)
     use_classifier: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -73,7 +74,7 @@ class SDFDecoder(nn.Module):
         class_logits = None
         for layer in range(num_layers - 1):
             if self.use_classifier and layer == num_layers - 2:
-                class_logits = nn.Dense(self.num_class, name="classifier_head")(h)
+                class_logits = nn.Dense(self.num_class, dtype=self.dtype, name="classifier_head")(h)
             out_dim = all_dims[layer + 1]
             if layer + 1 in self.latent_in:
                 out_dim -= all_dims[0]
@@ -83,7 +84,7 @@ class SDFDecoder(nn.Module):
             if layer <= 3:
                 h = WeightNormDense(out_dim, name=f"linh{layer}")(h)
             else:
-                h = nn.Dense(out_dim, name=f"linh{layer}")(h)
+                h = nn.Dense(out_dim, dtype=self.dtype, name=f"linh{layer}")(h)
             if layer < num_layers - 2:
                 h = nn.relu(h)
                 if layer in self.dropout_layers:

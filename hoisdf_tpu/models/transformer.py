@@ -12,7 +12,7 @@ in as additive -inf.  All shapes static; masks are compile-time constants.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +33,7 @@ class MultiheadAttention(nn.Module):
     d_model: int
     nhead: int
     dropout: float = 0.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -73,7 +74,7 @@ class MultiheadAttention(nn.Module):
         weights = nn.Dropout(self.dropout, deterministic=not train)(weights)
         out = jnp.einsum("bhts,bhsd->bhtd", weights, v)
         out = out.transpose(0, 2, 1, 3).reshape(bsz, tgt, c)
-        out = nn.Dense(c, name="out_proj")(out)
+        out = nn.Dense(c, dtype=self.dtype, name="out_proj")(out)
         return out, weights.mean(axis=1)
 
 
@@ -84,20 +85,21 @@ class EncoderLayer(nn.Module):
     nhead: int
     dim_feedforward: int
     dropout: float
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, src, pos, src_mask=None, *, train: bool = False):
         qk = src + pos
         attn_out, _ = MultiheadAttention(
-            self.d_model, self.nhead, self.dropout, name="self_attn"
+            self.d_model, self.nhead, self.dropout, self.dtype, name="self_attn"
         )(qk, qk, src, attn_mask=src_mask, train=train)
         src = src + nn.Dropout(self.dropout, deterministic=not train)(attn_out)
-        src = nn.LayerNorm(name="norm1")(src)
-        ff = nn.Dense(self.dim_feedforward, name="linear1")(src)
+        src = nn.LayerNorm(dtype=self.dtype, name="norm1")(src)
+        ff = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(src)
         ff = nn.Dropout(self.dropout, deterministic=not train)(nn.relu(ff))
-        ff = nn.Dense(self.d_model, name="linear2")(ff)
+        ff = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(ff)
         src = src + nn.Dropout(self.dropout, deterministic=not train)(ff)
-        return nn.LayerNorm(name="norm2")(src)
+        return nn.LayerNorm(dtype=self.dtype, name="norm2")(src)
 
 
 class DecoderLayer(nn.Module):
@@ -108,6 +110,7 @@ class DecoderLayer(nn.Module):
     nhead: int
     dim_feedforward: int
     dropout: float
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -116,20 +119,21 @@ class DecoderLayer(nn.Module):
     ):
         qk = tgt + query_pos
         sa, _ = MultiheadAttention(
-            self.d_model, self.nhead, self.dropout, name="self_attn"
+            self.d_model, self.nhead, self.dropout, self.dtype, name="self_attn"
         )(qk, qk, tgt, attn_mask=tgt_mask, train=train)
         tgt = tgt + nn.Dropout(self.dropout, deterministic=not train)(sa)
-        tgt = nn.LayerNorm(name="norm1")(tgt)
+        tgt = nn.LayerNorm(dtype=self.dtype, name="norm1")(tgt)
         ca, attn_wts = MultiheadAttention(
-            self.d_model, self.nhead, self.dropout, name="multihead_attn"
+            self.d_model, self.nhead, self.dropout, self.dtype,
+            name="multihead_attn",
         )(tgt + query_pos, memory + pos, memory, attn_mask=memory_mask, train=train)
         tgt = tgt + nn.Dropout(self.dropout, deterministic=not train)(ca)
-        tgt = nn.LayerNorm(name="norm2")(tgt)
-        ff = nn.Dense(self.dim_feedforward, name="linear1")(tgt)
+        tgt = nn.LayerNorm(dtype=self.dtype, name="norm2")(tgt)
+        ff = nn.Dense(self.dim_feedforward, dtype=self.dtype, name="linear1")(tgt)
         ff = nn.Dropout(self.dropout, deterministic=not train)(nn.relu(ff))
-        ff = nn.Dense(self.d_model, name="linear2")(ff)
+        ff = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(ff)
         tgt = tgt + nn.Dropout(self.dropout, deterministic=not train)(ff)
-        return nn.LayerNorm(name="norm3")(tgt), attn_wts
+        return nn.LayerNorm(dtype=self.dtype, name="norm3")(tgt), attn_wts
 
 
 class Encoder(nn.Module):
@@ -141,16 +145,17 @@ class Encoder(nn.Module):
     dim_feedforward: int
     dropout: float
     num_layers: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, src, pos, src_mask=None, *, train: bool = False):
-        inter_norm = nn.LayerNorm(name="inter_norm")
+        inter_norm = nn.LayerNorm(dtype=self.dtype, name="inter_norm")
         out = src
         intermediates = []
         for i in range(self.num_layers):
             out = EncoderLayer(
                 self.d_model, self.nhead, self.dim_feedforward, self.dropout,
-                name=f"layer{i}",
+                self.dtype, name=f"layer{i}",
             )(out, pos, src_mask, train=train)
             intermediates.append(inter_norm(out))
         return out, jnp.stack(intermediates)  # [L, B, S, C]
@@ -166,20 +171,21 @@ class Decoder(nn.Module):
     dim_feedforward: int
     dropout: float
     num_layers: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(
         self, tgt, memory, pos, query_pos, tgt_mask=None, memory_mask=None,
         *, train: bool = False,
     ):
-        norm = nn.LayerNorm(name="norm")
+        norm = nn.LayerNorm(dtype=self.dtype, name="norm")
         out = tgt
         intermediates = []
         attn_all = []
         for i in range(self.num_layers):
             out, attn = DecoderLayer(
                 self.d_model, self.nhead, self.dim_feedforward, self.dropout,
-                name=f"layer{i}",
+                self.dtype, name=f"layer{i}",
             )(out, memory, pos, query_pos, tgt_mask, memory_mask, train=train)
             intermediates.append(norm(out))
             attn_all.append(attn)
@@ -199,6 +205,7 @@ class Transformer(nn.Module):
     num_decoder_layers: int = 4
     dim_feedforward: int = 1024
     dropout: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(
@@ -208,7 +215,7 @@ class Transformer(nn.Module):
         bsz = src.shape[0]
         memory, enc_intermediate = Encoder(
             self.d_model, self.nhead, self.dim_feedforward, self.dropout,
-            self.num_encoder_layers, name="encoder",
+            self.num_encoder_layers, self.dtype, name="encoder",
         )(src + pos, pos, src_mask, train=train)
         query = jnp.broadcast_to(
             query_embed[None], (bsz, *query_embed.shape)
@@ -216,7 +223,7 @@ class Transformer(nn.Module):
         tgt = jnp.zeros_like(query)
         hs, attn_wts = Decoder(
             self.d_model, self.nhead, self.dim_feedforward, self.dropout,
-            self.num_decoder_layers, name="decoder",
+            self.num_decoder_layers, self.dtype, name="decoder",
         )(tgt, memory, pos, query, tgt_mask, memory_mask, train=train)
         return hs, memory, enc_intermediate, attn_wts
 
@@ -230,12 +237,13 @@ class VoteTransformer(nn.Module):
     num_encoder_layers: int = 3
     dim_feedforward: int = 1024
     dropout: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, src, pos, src_mask=None, *, train: bool = False):
         return Encoder(
             self.d_model, self.nhead, self.dim_feedforward, self.dropout,
-            self.num_encoder_layers, name="encoder",
+            self.num_encoder_layers, self.dtype, name="encoder",
         )(src + pos, pos, src_mask, train=train)
 
 

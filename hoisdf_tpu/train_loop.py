@@ -47,6 +47,27 @@ from hoisdf_tpu.utils.logger import colorlogger
 from hoisdf_tpu.utils.timer import Timer
 
 
+def dump_debug_images(out_dir: str, step: int, preds: Dict, targets: Dict) -> None:
+    """PNG dumps of predicted heatmap/segmentations vs GT — the JSONL-era
+    equivalent of the reference's TensorBoard image grids
+    (main/train.py:302-440)."""
+    from PIL import Image as PILImage
+
+    os.makedirs(out_dir, exist_ok=True)
+    heads = np.asarray(preds["decoder_heads"][0])  # [H,W,3]
+
+    def norm255(x):
+        lo, hi = x.min(), x.max()
+        return ((x - lo) / (hi - lo + 1e-8) * 255).astype(np.uint8)
+
+    panels = [norm255(heads[..., 0]), norm255(heads[..., 1]), norm255(heads[..., 2])]
+    if "hand_seg" in targets:
+        panels.append(norm255(np.asarray(targets["hand_seg"][0])))
+        panels.append(norm255(np.asarray(targets["obj_seg"][0])))
+    grid = np.concatenate(panels, axis=1)
+    PILImage.fromarray(grid).save(os.path.join(out_dir, f"debug_{step:08d}.png"))
+
+
 class ScalarWriter:
     """Append-only JSONL scalar log (TensorBoard-equivalent observability)."""
 
@@ -232,6 +253,10 @@ def main():
                         * 0.05
                     )
                     ev.feed(preds, e_tg, e_in, templates)
+                    dump_debug_images(
+                        os.path.join(out_root, "debug_images"), int(state.step),
+                        preds, e_tg,
+                    )
                     writer.add_scalars(
                         int(state.step),
                         {k: v / max(ev.total, 1) for k, v in ev.results.items()},
