@@ -170,6 +170,18 @@ def rot6d2mat(x: jax.Array) -> jax.Array:
     return jnp.stack((b1, b2, b3), axis=-1)
 
 
+def batch_rotprojs(mats: jax.Array) -> jax.Array:
+    """Project arbitrary [... ,3,3] matrices onto SO(3) via SVD with a
+    det-sign fix (parity: manopth/manopth/rotproj.py:4-21; used by the
+    MANO layer's joint_rot_mode='rotmat' path)."""
+    u, _, vt = jnp.linalg.svd(mats)
+    rot = u @ vt
+    det = jnp.linalg.det(rot)[..., None, None]
+    # flip the last column of u where det < 0
+    u_fix = jnp.concatenate([u[..., :2], u[..., 2:] * jnp.sign(det)], axis=-1)
+    return u_fix @ vt
+
+
 def rigid_transform_3d(a: jax.Array, b: jax.Array):
     """Similarity Kabsch: returns (scale c, rotation R, translation t).
 

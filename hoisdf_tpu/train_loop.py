@@ -257,6 +257,42 @@ def main():
                         os.path.join(out_root, "debug_images"), int(state.step),
                         preds, e_tg,
                     )
+                elif cfg.dataset == "dexycb" and cfg.annotation_dir:
+                    # Real eval-during-training (main/train.py:164-557 /
+                    # common/base.py Evaler): same params, eval-mode forward.
+                    from hoisdf_tpu.data.dexycb import DexYCBDataset
+                    from hoisdf_tpu.data.meshes import load_object_library
+                    from hoisdf_tpu.data.dexycb import YCB_CLASSES
+
+                    eval_ds = DexYCBDataset(cfg, "test", mano_model, seed=cfg.seed)
+                    eval_loader = DataLoader(
+                        eval_ds, cfg.eval_batch_size, shuffle=False,
+                        num_workers=cfg.num_data_workers, drop_last=True,
+                    )
+                    meshes, _, _ = load_object_library(
+                        cfg.simple_object_models_dir or "", YCB_CLASSES,
+                        mesh_file="textured_simple_2000.obj",
+                    ) if cfg.simple_object_models_dir else ({}, {}, {})
+                    ev = Evaluator(cfg, mano)
+                    for eb in eval_loader:
+                        e_in, e_tg = split_inputs_targets(eb)
+                        preds = eval_step(
+                            state.params, state.batch_stats,
+                            {k: jnp.asarray(v) for k, v in e_in.items()
+                             if k != "obj_cls"},
+                        )
+                        if meshes:
+                            templates = jnp.asarray(np.stack(
+                                [meshes[int(c)] for c in e_in["obj_cls"]]
+                            ))
+                            ev.feed(preds, e_tg, e_in, templates)
+                    if ev.total:
+                        logger.info(
+                            "eval: " + " ".join(
+                                f"{k}={v / ev.total:.3f}"
+                                for k, v in ev.results.items()
+                            )
+                        )
                     writer.add_scalars(
                         int(state.step),
                         {k: v / max(ev.total, 1) for k, v in ev.results.items()},
