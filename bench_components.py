@@ -1,0 +1,96 @@
+"""Component benchmarks matching BASELINE.json's config list:
+
+  1. MANO layer: batch-32 pose->vertex LBS forward (CPU parity reference)
+  2. hand+object SDF MLP decode over 2048 sampled points, single frame
+  3. ResNet-FPN backbone + pixel-aligned gather, batch-8 256px crops
+
+Prints one JSON line per config.  ``python bench_components.py [--cpu]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def _time(fn, *args, iters=10, warmup=2):
+    import jax
+
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--iters", type=int, default=10)
+    args = parser.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hoisdf_tpu.mano.layer import ManoBuffers, mano_forward
+    from hoisdf_tpu.mano.model import make_synthetic_mano
+    from hoisdf_tpu.models.resnet import ResNetBackbone
+    from hoisdf_tpu.models.sdf_decoder import SDFDecoder
+    from hoisdf_tpu.ops.grid_sample import multiscale_point_features
+    from hoisdf_tpu.models.decoder import Decoder
+
+    results = []
+    rng = np.random.RandomState(0)
+
+    # 1. MANO batch-32 (BASELINE config #1)
+    buffers = ManoBuffers.from_model(make_synthetic_mano(0))
+    pose = jnp.asarray(rng.randn(32, 48).astype(np.float32) * 0.3)
+    betas = jnp.asarray(rng.randn(32, 10).astype(np.float32) * 0.3)
+    mano_fn = jax.jit(lambda p, b: mano_forward(buffers, p, b))
+    dt = _time(mano_fn, pose, betas, iters=args.iters)
+    results.append({"metric": "mano_batch32_forward", "value": round(32 / dt, 1),
+                    "unit": "hands/sec"})
+
+    # 2. SDF decode @ 2048 points (BASELINE config #2): both fields
+    dec = SDFDecoder()
+    x = jnp.asarray(rng.randn(2048, 289).astype(np.float32))
+    params = dec.init(jax.random.PRNGKey(0), x)["params"]
+    sdf_fn = jax.jit(lambda p, xx: dec.apply({"params": p}, xx)[0])
+    dt = _time(sdf_fn, params, x, iters=args.iters)
+    results.append({"metric": "sdf_decode_2048pts", "value": round(2 * 2048 / dt),
+                    "unit": "points/sec (hand+obj)"})
+
+    # 3. backbone + pyramid + gather, batch-8 (BASELINE config #3)
+    res = 64 if args.cpu else 256
+    bb = ResNetBackbone(18 if args.cpu else 50)
+    img = jnp.asarray(rng.rand(8, res, res, 3).astype(np.float32))
+    bbv = bb.init(jax.random.PRNGKey(0), img)
+    dcd = Decoder()
+    feat, skips = bb.apply(bbv, img)
+    dv = dcd.init(jax.random.PRNGKey(1), feat, skips)
+    grid = jnp.asarray(rng.rand(8, 800, 2).astype(np.float32) * 2 - 1)
+    layers = ("stride2", "stride4", "stride8", "stride16", "stride32")
+
+    @jax.jit
+    def pipeline(bbv, dv, img, grid):
+        feat, skips = bb.apply(bbv, img)
+        pyr, _ = dcd.apply(dv, feat, skips)
+        return multiscale_point_features(pyr, grid, layers)
+
+    dt = _time(pipeline, bbv, dv, img, grid, iters=args.iters)
+    results.append({"metric": "backbone_fpn_gather_b8", "value": round(8 / dt, 2),
+                    "unit": "frames/sec"})
+
+    for r in results:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()
