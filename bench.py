@@ -85,13 +85,21 @@ def main() -> None:
         preds = eval_step(params, batch_stats, inputs)
         jax.block_until_ready(preds)
 
+    iter_times = []
     t0 = time.perf_counter()
     for _ in range(args.iters):
+        it0 = time.perf_counter()
         preds = eval_step(params, batch_stats, inputs)
         jax.block_until_ready(preds)
+        iter_times.append(time.perf_counter() - it0)
     dt = time.perf_counter() - t0
 
     fps = args.batch * args.iters / dt
+    p50 = sorted(iter_times)[len(iter_times) // 2] / args.batch * 1000
+    print(
+        f"[bench] p50 per-frame latency: {p50:.2f} ms (batch {args.batch})",
+        file=sys.stderr,
+    )
 
     baseline = None
     prev = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json")))

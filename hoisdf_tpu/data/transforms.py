@@ -164,6 +164,30 @@ def normalize_joints(joints2d: np.ndarray, bbox: np.ndarray) -> np.ndarray:
     return (joints2d - bbox[0]) / (bbox[1] - bbox[0])
 
 
+def get_bbox(joint_img: np.ndarray, joint_valid: np.ndarray,
+             expansion_factor: float = 1.0) -> np.ndarray:
+    """Visibility-aware [x,y,w,h] bbox around 2D joints
+    (dex_ycb_util.py:57-80)."""
+    x = joint_img[:, 0][joint_valid == 1]
+    y = joint_img[:, 1][joint_valid == 1]
+    xc, yc = (x.min() + x.max()) / 2.0, (y.min() + y.max()) / 2.0
+    w = (x.max() - x.min()) * expansion_factor
+    h = (y.max() - y.min()) * expansion_factor
+    return np.array([xc - w / 2, yc - h / 2, w, h], np.float32)
+
+
+def process_bbox(bbox, img_width: int, img_height: int):
+    """Clip an [x,y,w,h] bbox to the image; None if degenerate
+    (dex_ycb_util.py:82-92)."""
+    x, y, w, h = bbox
+    x1, y1 = max(0, x), max(0, y)
+    x2 = min(img_width - 1, x1 + max(0, w - 1))
+    y2 = min(img_height - 1, y1 + max(0, h - 1))
+    if w * h > 0 and x2 >= x1 and y2 >= y1:
+        return np.array([x1, y1, x2 - x1, y2 - y1])
+    return None
+
+
 # ---- camera ---------------------------------------------------------------------
 
 
