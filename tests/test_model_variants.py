@@ -1,0 +1,65 @@
+"""Model-variant smoke tests: the IK (ho3d_render) head and the big decoder
+(ho3d) — structurally different graphs from the dexycb flagship."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hoisdf_tpu.config import get_config
+from hoisdf_tpu.losses import mano_shape_loss
+from hoisdf_tpu.models.hoisdf import build_model
+from test_model import tiny_batch
+
+
+def test_ik_variant_forward_and_shape_loss():
+    cfg = get_config(
+        "ho3d_render",
+        resnet_type=18, hidden_dim=64, dim_feedforward=128, enc_layers=2,
+        dec_layers=2, num_samp_hand=32, num_samp_obj=16,
+        input_img_shape=(64, 64), output_hm_shape=(32, 32, 32), bins_n=16,
+        sdf_infer_chunk=2048, use_big_decoder=False,
+    )
+    assert cfg.use_inverse_kinematics
+    model = build_model(cfg)
+    batch = tiny_batch(cfg, b=2, train=True)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample_noise": jax.random.PRNGKey(1)},
+        batch, use_presampled=True, dist_range=0.03,
+    )
+    # single learned query (main/model.py:75-76)
+    assert variables["params"]["mano_query_embed"].shape == (1, 64)
+    out = model.apply(
+        variables, batch, use_presampled=True, dist_range=0.03,
+        rngs={"sample_noise": jax.random.PRNGKey(2)},
+    )
+    assert "mano_pose6d" not in out
+    assert out["mano_shape"].shape == (cfg.dec_layers, 2, 10)
+    losses = mano_shape_loss(
+        cfg, out["mano_shape"], jnp.zeros((2, 10))
+    )
+    assert np.isfinite(float(losses["shape_param_loss"]))
+    assert np.isfinite(float(losses["shape_reg_loss"]))
+
+
+def test_big_decoder_variant_forward():
+    cfg = get_config(
+        "ho3d",
+        resnet_type=50, hidden_dim=64, dim_feedforward=128, enc_layers=2,
+        dec_layers=2, num_samp_hand=16, num_samp_obj=8,
+        input_img_shape=(32, 32), output_hm_shape=(16, 16, 16), bins_n=8,
+        sdf_infer_chunk=512,
+    )
+    assert cfg.use_big_decoder and cfg.multiscale_dim == 3968
+    model = build_model(cfg)
+    batch = tiny_batch(cfg, b=1, train=True)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample_noise": jax.random.PRNGKey(1)},
+        batch, use_presampled=True, dist_range=0.03,
+    )
+    out = model.apply(
+        variables, batch, use_presampled=True, dist_range=0.03,
+        rngs={"sample_noise": jax.random.PRNGKey(2)},
+    )
+    assert out["mano_pose6d"].shape == (2, 1, 16, 6)
+    assert np.isfinite(np.asarray(out["mano_pose6d"])).all()
