@@ -249,11 +249,22 @@ def main():
     eval_step = make_eval_step(cfg, model, mano)
     evaluator = Evaluator(cfg, mano)
 
+    # Data-parallel eval over every visible device (batch must divide evenly).
+    from hoisdf_tpu.parallel.mesh import make_mesh, shard_batch
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    if args.batch_size % n_dev:
+        args.batch_size = max(n_dev, args.batch_size - args.batch_size % n_dev)
+
     for i in range(args.batches):
         batch_np = synthetic_batch(cfg, args.batch_size, seed=i, train=False)
         inputs, targets = split_inputs_targets(batch_np)
-        inputs_j = {k: jnp.asarray(v) for k, v in inputs.items()}
-        preds = eval_step(params, batch_stats, inputs_j)
+        with mesh:
+            inputs_j = shard_batch(
+                {k: jnp.asarray(v) for k, v in inputs.items()}, mesh
+            )
+            preds = eval_step(params, batch_stats, inputs_j)
         templates = jnp.asarray(
             np.random.RandomState(0).randn(args.batch_size, 100, 3).astype(np.float32)
             * 0.05

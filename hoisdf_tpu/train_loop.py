@@ -207,8 +207,6 @@ def main():
                 use_pre, dist_range = presample_gate(
                     cfg, epoch, batch_ratio, float(host_rng.random())
                 )
-                if not use_pre and "hand_pre_points" in batch_np:
-                    pass  # sdf_infer branch ignores pre points
                 inputs, targets = split_inputs_targets(batch_np)
                 inputs = shard_batch(inputs, mesh)
                 targets = shard_batch(targets, mesh)
