@@ -121,6 +121,9 @@ class Config:
     # Fused Pallas SDF-MLP kernel inside sdf_infer (TPU only; the training
     # path keeps the flax module for grads + dropout).
     fused_sdf_infer: bool = True
+    # Nearest-texel feature gather for the dense *selection* stage only
+    # (4x fewer gathered bytes; final token features stay bilinear-exact).
+    infer_gather_nearest: bool = False
     mesh_axis_data: str = "data"
     num_data_workers: int = 15
     seed: int = 0

@@ -151,12 +151,15 @@ class HOISDF(nn.Module):
         return self.linear_transformerin(feats), cam_pts
 
     def _sdf_decoder_inputs(
-        self, pyramid, points_scaled, center, cam_intr, sdf_scale
+        self, pyramid, points_scaled, center, cam_intr, sdf_scale,
+        nearest: bool = False,
     ):
         """Assemble the flat [B*P, 289] decoder inputs + posenc."""
         c = self.cfg
         grid, _ = self._gather_grid(points_scaled, center, cam_intr, sdf_scale)
-        feats = multiscale_point_features(pyramid, grid, c.multiscale_layers)
+        feats = multiscale_point_features(
+            pyramid, grid, c.multiscale_layers, nearest=nearest
+        )
         points_fea = self.linear_sdfin(feats)
         posenc = nerf_positional_encoding(points_scaled, c.nerf_num_freqs)
         dec_in = jnp.concatenate(
@@ -214,7 +217,8 @@ class HOISDF(nn.Module):
         def sdf_fn(pts):  # [B, C, 3] -> [B, C]; raw sdf like the reference sort
             if use_fused:
                 flat, _ = self._sdf_decoder_inputs(
-                    pyramid, pts, center, cam_intr, sdf_scale
+                    pyramid, pts, center, cam_intr, sdf_scale,
+                    nearest=c.infer_gather_nearest,
                 )
                 sdf = sdf_mlp_fused(flat, folded).astype(jnp.float32)
                 return sdf.reshape(pts.shape[0], pts.shape[1])

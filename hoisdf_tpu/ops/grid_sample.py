@@ -66,17 +66,33 @@ def grid_sample_bilinear(feat: jax.Array, grid: jax.Array) -> jax.Array:
     return top * (1 - wy) + bot * wy
 
 
+def grid_sample_nearest(feat: jax.Array, grid: jax.Array) -> jax.Array:
+    """Nearest-texel variant of grid_sample_bilinear (same coordinate
+    convention); 4x fewer gathered bytes.  Used only for the dense
+    selection stage when cfg.infer_gather_nearest is set."""
+    b, h, w, c = feat.shape
+    x = jnp.clip((grid[..., 0] + 1.0) * 0.5 * (w - 1), 0.0, w - 1)
+    y = jnp.clip((grid[..., 1] + 1.0) * 0.5 * (h - 1), 0.0, h - 1)
+    xi = jnp.round(x).astype(jnp.int32)
+    yi = jnp.round(y).astype(jnp.int32)
+    flat = feat.reshape(b, h * w, c)
+    return jnp.take_along_axis(flat, (yi * w + xi)[..., None], axis=1)
+
+
 def multiscale_point_features(
     feature_pyramid: Dict[str, jax.Array],
     grid: jax.Array,
     layer_names: Sequence[str],
+    *,
+    nearest: bool = False,
 ) -> jax.Array:
     """Gather and channel-concat features from every pyramid level.
 
     Equivalent to the reference's 5x grid_sample + cat loop
     (main/model.py:203-214) but with NHWC maps; returns [B, P, sum(C_l)].
     """
-    parts = [grid_sample_bilinear(feature_pyramid[name], grid) for name in layer_names]
+    sample = grid_sample_nearest if nearest else grid_sample_bilinear
+    parts = [sample(feature_pyramid[name], grid) for name in layer_names]
     return jnp.concatenate(parts, axis=-1)
 
 
