@@ -79,20 +79,68 @@ def grid_sample_nearest(feat: jax.Array, grid: jax.Array) -> jax.Array:
     return jnp.take_along_axis(flat, (yi * w + xi)[..., None], axis=1)
 
 
+def grid_sample_bilinear_matmul(feat: jax.Array, grid: jax.Array) -> jax.Array:
+    """Bilinear sampling as a dense one-hot matmul — bit-identical math to
+    grid_sample_bilinear but runs on the MXU instead of the gather unit.
+
+    Profitable only for SMALL feature maps (H*W <= ~256: the stride16/32
+    pyramid levels, which carry 77% of the gathered channel bytes); the
+    [B, P, H*W] interpolation-weight matrix is materialized.
+    """
+    b, h, w, c = feat.shape
+    x = jnp.clip((grid[..., 0] + 1.0) * 0.5 * (w - 1), 0.0, w - 1)
+    y = jnp.clip((grid[..., 1] + 1.0) * 0.5 * (h - 1), 0.0, h - 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    wx = (x - x0)[..., None]
+    wy = (y - y0)[..., None]
+    hw = h * w
+
+    def oh(yi, xi):
+        return jax.nn.one_hot(
+            (yi * w + xi).astype(jnp.int32), hw, dtype=feat.dtype
+        )
+
+    weights = (
+        oh(y0, x0) * (1 - wx) * (1 - wy)
+        + oh(y0, x1) * wx * (1 - wy)
+        + oh(y1, x0) * (1 - wx) * wy
+        + oh(y1, x1) * wx * wy
+    )  # [B, P, HW]
+    flat = feat.reshape(b, hw, c)
+    return jnp.einsum("bph,bhc->bpc", weights, flat)
+
+
+# Below this table size the one-hot-matmul formulation beats the gather unit.
+MATMUL_GATHER_MAX_TABLE = 256
+
+
 def multiscale_point_features(
     feature_pyramid: Dict[str, jax.Array],
     grid: jax.Array,
     layer_names: Sequence[str],
     *,
     nearest: bool = False,
+    matmul_small_levels: bool = True,
 ) -> jax.Array:
     """Gather and channel-concat features from every pyramid level.
 
     Equivalent to the reference's 5x grid_sample + cat loop
     (main/model.py:203-214) but with NHWC maps; returns [B, P, sum(C_l)].
+    Small levels use the exact matmul formulation (MXU) by default.
     """
-    sample = grid_sample_nearest if nearest else grid_sample_bilinear
-    parts = [sample(feature_pyramid[name], grid) for name in layer_names]
+    parts = []
+    for name in layer_names:
+        feat = feature_pyramid[name]
+        hw = feat.shape[1] * feat.shape[2]
+        if nearest:
+            parts.append(grid_sample_nearest(feat, grid))
+        elif matmul_small_levels and hw <= MATMUL_GATHER_MAX_TABLE:
+            parts.append(grid_sample_bilinear_matmul(feat, grid))
+        else:
+            parts.append(grid_sample_bilinear(feat, grid))
     return jnp.concatenate(parts, axis=-1)
 
 

@@ -63,3 +63,16 @@ def test_nerf_encoding_layout():
     for f_i, f in enumerate([1.0, 2.0, 4.0, 8.0, 16.0]):
         np.testing.assert_allclose(enc[0, f_i * 6 : f_i * 6 + 3], np.sin(xin * f), atol=1e-6)
         np.testing.assert_allclose(enc[0, f_i * 6 + 3 : f_i * 6 + 6], np.cos(xin * f), atol=1e-6)
+
+
+def test_matmul_gather_exactly_matches_gather():
+    import jax
+
+    rng = np.random.RandomState(7)
+    feat = jnp.asarray(rng.randn(2, 8, 8, 16).astype(np.float32))
+    grid = jnp.asarray(rng.rand(2, 40, 2).astype(np.float32) * 2.2 - 1.1)
+    from hoisdf_tpu.ops.grid_sample import grid_sample_bilinear_matmul
+
+    a = grid_sample_bilinear(feat, grid)
+    b = grid_sample_bilinear_matmul(feat, grid)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
