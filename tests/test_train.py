@@ -145,3 +145,20 @@ def test_data_parallel_8dev_matches_single(setup):
     assert abs(float(losses8["total"]) - float(losses1["total"])) / float(
         losses1["total"]
     ) < 0.2
+
+
+def test_train_step_deterministic(setup):
+    # JAX SPMD is deterministic given identical state and PRNG keys — the
+    # framework's replacement for the reference's (uncalled) fix_seeds
+    # (main/config.py:16-25).
+    cfg, model, mano, state, inputs, targets = setup
+    step = make_train_step(cfg, model, mano)
+    s_a, l_a = step(state, inputs, targets, jax.random.PRNGKey(5),
+                    jnp.asarray(0.03), use_presampled=True)
+    s_b, l_b = step(state, inputs, targets, jax.random.PRNGKey(5),
+                    jnp.asarray(0.03), use_presampled=True)
+    assert float(l_a["total"]) == float(l_b["total"])
+    np.testing.assert_array_equal(
+        np.asarray(s_a.params["linear_shape"]["layers_0"]["kernel"]),
+        np.asarray(s_b.params["linear_shape"]["layers_0"]["kernel"]),
+    )
