@@ -7,8 +7,8 @@ NHWC (TPU-native layout); the point axis is a flat list of P query points per
 image, which is exactly the reference's ``grid.unsqueeze(1)`` [B,1,P,2] case.
 
 The multi-level pyramid gather (5 levels, concatenated channelwise) is the
-framework's hottest memory-bound op; see ``ops/pallas/gather_lerp.py`` for the
-fused kernel variant used on real TPUs.
+framework's hottest memory-bound op; small levels are routed through an exact
+one-hot-matmul formulation (MXU) in ``multiscale_point_features``.
 """
 
 from __future__ import annotations
@@ -79,51 +79,40 @@ def grid_sample_nearest(feat: jax.Array, grid: jax.Array) -> jax.Array:
     return jnp.take_along_axis(flat, (yi * w + xi)[..., None], axis=1)
 
 
-def grid_sample_bilinear_matmul(
-    feat: jax.Array, grid: jax.Array, point_chunk: int = 8192
-) -> jax.Array:
+def grid_sample_bilinear_matmul(feat: jax.Array, grid: jax.Array) -> jax.Array:
     """Bilinear sampling as a dense one-hot matmul — bit-identical math to
     grid_sample_bilinear but runs on the MXU instead of the gather unit.
 
-    Profitable for SMALL feature maps (the stride8/16/32 pyramid levels,
-    which carry 90% of the gathered channel bytes).  The [B, P', H*W]
-    interpolation-weight matrix is materialized per point chunk; chunking
-    bounds the transient at ~B * point_chunk * HW elements.
+    Profitable only for SMALL feature maps (H*W <= 256: the stride16/32
+    pyramid levels, which carry 77% of the gathered channel bytes).  The
+    [B, P, H*W] interpolation-weight matrix is materialized; larger tables
+    (stride8's 1024 entries) fault the TPU runtime through this formulation
+    and stay on the gather path.
     """
     b, h, w, c = feat.shape
-    p = grid.shape[1]
     hw = h * w
     flat = feat.reshape(b, hw, c)
+    x = jnp.clip((grid[..., 0] + 1.0) * 0.5 * (w - 1), 0.0, w - 1)
+    y = jnp.clip((grid[..., 1] + 1.0) * 0.5 * (h - 1), 0.0, h - 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    wx = (x - x0)[..., None]
+    wy = (y - y0)[..., None]
 
-    def sample_chunk(g):
-        x = jnp.clip((g[..., 0] + 1.0) * 0.5 * (w - 1), 0.0, w - 1)
-        y = jnp.clip((g[..., 1] + 1.0) * 0.5 * (h - 1), 0.0, h - 1)
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        x1 = jnp.minimum(x0 + 1, w - 1)
-        y1 = jnp.minimum(y0 + 1, h - 1)
-        wx = (x - x0)[..., None]
-        wy = (y - y0)[..., None]
+    def oh(yi, xi):
+        return jax.nn.one_hot(
+            (yi * w + xi).astype(jnp.int32), hw, dtype=feat.dtype
+        )
 
-        def oh(yi, xi):
-            return jax.nn.one_hot(
-                (yi * w + xi).astype(jnp.int32), hw, dtype=feat.dtype
-            )
-
-        weights = (
-            oh(y0, x0) * (1 - wx) * (1 - wy)
-            + oh(y0, x1) * wx * (1 - wy)
-            + oh(y1, x0) * (1 - wx) * wy
-            + oh(y1, x1) * wx * wy
-        )  # [B, P', HW]
-        return jnp.einsum("bph,bhc->bpc", weights, flat)
-
-    if p <= point_chunk or p % point_chunk:
-        return sample_chunk(grid)
-    n_chunks = p // point_chunk
-    chunks = grid.reshape(b, n_chunks, point_chunk, 2).transpose(1, 0, 2, 3)
-    out = jax.lax.map(sample_chunk, chunks)  # [n, B, P', C]
-    return out.transpose(1, 0, 2, 3).reshape(b, p, c)
+    weights = (
+        oh(y0, x0) * (1 - wx) * (1 - wy)
+        + oh(y0, x1) * wx * (1 - wy)
+        + oh(y1, x0) * (1 - wx) * wy
+        + oh(y1, x1) * wx * wy
+    )  # [B, P, HW]
+    return jnp.einsum("bph,bhc->bpc", weights, flat)
 
 
 # Below this table size the one-hot-matmul formulation beats the gather unit.
