@@ -1,0 +1,69 @@
+"""Evaluator accumulation math: perfect predictions give (near-)zero errors
+and correct sample accounting (main/test.py:95-259 semantics)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from hoisdf_tpu.config import get_config
+from hoisdf_tpu.evaluate import Evaluator, JOINTS_SIMPLE_TO_MANO, JOINTS_MANO_TO_SIMPLE
+from hoisdf_tpu.mano.layer import ManoBuffers
+from hoisdf_tpu.mano.model import make_synthetic_mano
+from hoisdf_tpu.models.mano_head import mano_head_gt
+
+
+def test_joint_reorder_roundtrip():
+    x = np.arange(21)
+    assert (x[JOINTS_MANO_TO_SIMPLE][JOINTS_SIMPLE_TO_MANO] == x).all()
+
+
+def _perfect_batch(cfg, mano, b=2):
+    rng = np.random.RandomState(0)
+    targets = {
+        "obj_rot": jnp.asarray(rng.randn(b, 3).astype(np.float32)),
+        "rel_obj_trans": jnp.asarray(rng.randn(b, 3).astype(np.float32) * 0.05),
+        "mano_param": jnp.asarray(rng.randn(b, 58).astype(np.float32) * 0.2),
+        "joint_cam_no_trans": jnp.asarray(rng.randn(b, 21, 3).astype(np.float32) * 50),
+    }
+    gt = mano_head_gt(mano, targets["mano_param"])
+    preds = {
+        # per-point outputs that average to the GT pose exactly
+        "obj_rot": jnp.broadcast_to(targets["obj_rot"][:, None], (b, 7, 3)),
+        "obj_trans": jnp.broadcast_to(targets["rel_obj_trans"][:, None], (b, 7, 3)),
+        "mano_joints": gt["joints3d"],
+        "mano_verts": gt["verts3d"],
+        "hand_joints": gt["joints3d"][:, 1:],
+    }
+    meta = {"mano_root": np.zeros((b, 3), np.float32)}
+    templates = jnp.asarray(rng.randn(b, 60, 3).astype(np.float32) * 0.05)
+    return preds, targets, meta, templates
+
+
+def test_dexycb_perfect_predictions():
+    cfg = get_config("dexycb")
+    mano = ManoBuffers.from_model(make_synthetic_mano(0))
+    ev = Evaluator(cfg, mano)
+    preds, targets, meta, templates = _perfect_batch(cfg, mano)
+    ev.feed(preds, targets, meta, templates)
+    assert ev.total == 2
+    for k in ("ADDS_error", "mano_mje", "mano_pamje", "OCE_error", "MCE_error"):
+        assert ev.results[k] / ev.total < 1e-2, (k, ev.results[k])
+
+
+def test_ho3d_accumulates_submission_lists(tmp_path):
+    cfg = get_config("ho3d")
+    mano = ManoBuffers.from_model(make_synthetic_mano(0))
+    ev = Evaluator(cfg, mano)
+    preds, targets, meta, templates = _perfect_batch(cfg, mano)
+    ev.feed(preds, targets, meta, templates)
+    assert len(ev.joint_list) == 2 and len(ev.mesh_list) == 2
+    assert ev.joint_list[0].shape == (21, 3)
+    assert ev.results["ADDS_error"] / ev.total < 1e-2
+    # codalab dump writes the two-list json
+    from hoisdf_tpu.data.ho3d import dump_codalab_json
+
+    path = dump_codalab_json(str(tmp_path), ev.joint_list, ev.mesh_list)
+    import json
+
+    with open(path) as f:
+        data = json.load(f)
+    assert len(data) == 2 and len(data[0]) == 2
