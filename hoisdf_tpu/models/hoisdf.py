@@ -212,7 +212,10 @@ class HOISDF(nn.Module):
             and not self.is_initializing()
             and jax.default_backend() in ("tpu", "axon")
         )
-        folded = fold_weight_norm(decoder.variables["params"]) if use_fused else None
+        folded = (
+            jax.lax.stop_gradient(fold_weight_norm(decoder.variables["params"]))
+            if use_fused else None
+        )
 
         def sdf_fn(pts):  # [B, C, 3] -> [B, C]; raw sdf like the reference sort
             if use_fused:
@@ -220,6 +223,10 @@ class HOISDF(nn.Module):
                     pyramid, pts, center, cam_intr, sdf_scale,
                     nearest=c.infer_gather_nearest,
                 )
+                # The whole sampler is no-grad (reference main/model.py:463);
+                # severing gradients at the kernel INPUTS keeps the Pallas
+                # call (which has no VJP rule) out of the autodiff graph.
+                flat = jax.lax.stop_gradient(flat)
                 sdf = sdf_mlp_fused(flat, folded).astype(jnp.float32)
                 return sdf.reshape(pts.shape[0], pts.shape[1])
             sdf, _, _ = self.sdf_forward(
