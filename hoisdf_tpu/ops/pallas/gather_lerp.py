@@ -1,21 +1,22 @@
 """Fused multi-level bilinear gather Pallas kernel (large pyramid levels).
 
 The dense selection stage gathers pixel-aligned features for ~36K points per
-image; the small levels (stride16/32) already ride the MXU via the one-hot
-matmul (ops/grid_sample.py), leaving the stride2/4/8 gathers (224 channels,
-4 corners each) as the largest remaining cost.  This kernel keeps all three
-level maps of one batch item resident in VMEM (~1.75 MB bf16) and walks a
-point tile with dynamic VMEM reads, fusing the 12 corner reads + lerp into
-one pass with a single concatenated output write.
+image; the small levels (stride16/32) ride the MXU via the one-hot matmul
+(ops/grid_sample.py), leaving the stride2/4/8 gathers (224 channels, 4
+corners each) as the largest remaining cost.  This kernel keeps all three
+level maps of one batch item resident in VMEM (~1.75 MB bf16), stages the
+tile's precomputed corner indices/weights into SMEM scratch, and walks the
+point tile with dynamic ``pl.ds`` corner reads, fusing 12 reads + lerp per
+point into one pass.
 
-Status: experimental — guarded by ``cfg`` opt-in; the XLA gather path remains
-the default.  Verified against grid_sample_bilinear in interpret mode.
+Status: experimental — guarded opt-in; the XLA gather path is the default.
+Verified against grid_sample_bilinear in interpret mode.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -23,39 +24,42 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(gx_ref, gy_ref, f2, f4, f8, out_ref, *, tile: int, dims):
-    gx = gx_ref[0, :]  # [tile] normalized x in [-1,1]
-    gy = gy_ref[0, :]
+def _kernel(idx_ref, wgt_ref, f2, f4, f8, out_ref, idx_smem, wgt_smem,
+            sem, *, tile: int, dims):
+    b_idx = pl.program_id(0)
 
-    offset = 0
-    for ref, (h, w, c) in zip((f2, f4, f8), dims):
-        x = jnp.clip((gx + 1.0) * 0.5 * (w - 1), 0.0, w - 1)
-        y = jnp.clip((gy + 1.0) * 0.5 * (h - 1), 0.0, h - 1)
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        x1 = jnp.minimum(x0 + 1, w - 1)
-        y1 = jnp.minimum(y0 + 1, h - 1)
-        wx = x - x0
-        wy = y - y0
-        x0i = x0.astype(jnp.int32)
-        x1i = x1.astype(jnp.int32)
-        y0i = y0.astype(jnp.int32)
-        y1i = y1.astype(jnp.int32)
+    # Stage this (batch, tile)'s indices/weights into SMEM for scalar reads.
+    cp1 = pltpu.make_async_copy(idx_ref.at[b_idx], idx_smem, sem.at[0])
+    cp1.start()
+    cp2 = pltpu.make_async_copy(wgt_ref.at[b_idx], wgt_smem, sem.at[1])
+    cp2.start()
+    cp1.wait()
+    cp2.wait()
 
-        def body(i, _):
-            r00 = ref[0, y0i[i], x0i[i], :]
-            r01 = ref[0, y0i[i], x1i[i], :]
-            r10 = ref[0, y1i[i], x0i[i], :]
-            r11 = ref[0, y1i[i], x1i[i], :]
-            top = r00 * (1 - wx[i]) + r01 * wx[i]
-            bot = r10 * (1 - wx[i]) + r11 * wx[i]
-            out_ref[0, i, offset : offset + c] = (
-                top * (1 - wy[i]) + bot * wy[i]
-            ).astype(out_ref.dtype)
-            return 0
+    refs = (f2, f4, f8)
 
-        jax.lax.fori_loop(0, tile, body, 0)
-        offset += c
+    def body(i, _):
+        offset = 0
+        for li, (ref, (h, w, c)) in enumerate(zip(refs, dims)):
+            y0 = idx_smem[li * 4 + 0, i]
+            x0 = idx_smem[li * 4 + 1, i]
+            y1 = idx_smem[li * 4 + 2, i]
+            x1 = idx_smem[li * 4 + 3, i]
+            wx = wgt_smem[li * 2 + 0, i]
+            wy = wgt_smem[li * 2 + 1, i]
+            r00 = ref[0, pl.ds(y0, 1), pl.ds(x0, 1), :]
+            r01 = ref[0, pl.ds(y0, 1), pl.ds(x1, 1), :]
+            r10 = ref[0, pl.ds(y1, 1), pl.ds(x0, 1), :]
+            r11 = ref[0, pl.ds(y1, 1), pl.ds(x1, 1), :]
+            top = r00 * (1 - wx) + r01 * wx
+            bot = r10 * (1 - wx) + r11 * wx
+            out_ref[0, pl.ds(i, 1), offset : offset + c] = (
+                (top * (1 - wy) + bot * wy).reshape(1, c).astype(out_ref.dtype)
+            )
+            offset += c
+        return 0
+
+    jax.lax.fori_loop(0, tile, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
@@ -65,20 +69,37 @@ def fused_gather_lerp3(
     feat4: jax.Array,
     feat8: jax.Array,
     *,
-    tile: int = 256,
+    tile: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
     """Bilinear-sample 3 levels and channel-concat: [B, P, C2+C4+C8]."""
     b, p, _ = grid.shape
     pad = (-p) % tile
-    gx = grid[..., 0]
-    gy = grid[..., 1]
     if pad:
-        gx = jnp.concatenate([gx, jnp.zeros((b, pad), gx.dtype)], axis=1)
-        gy = jnp.concatenate([gy, jnp.zeros((b, pad), gy.dtype)], axis=1)
-    p_pad = gx.shape[1]
-    dims = tuple(f.shape[1:] for f in (feat2, feat4, feat8))
+        grid = jnp.concatenate(
+            [grid, jnp.zeros((b, pad, 2), grid.dtype)], axis=1
+        )
+    p_pad = grid.shape[1]
+    feats = (feat2, feat4, feat8)
+    dims = tuple(f.shape[1:] for f in feats)
     c_total = sum(d[2] for d in dims)
+
+    # Precompute corner indices/weights per level on the XLA side.
+    idx_rows = []
+    wgt_rows = []
+    for (h, w, _c) in dims:
+        x = jnp.clip((grid[..., 0] + 1.0) * 0.5 * (w - 1), 0.0, w - 1)
+        y = jnp.clip((grid[..., 1] + 1.0) * 0.5 * (h - 1), 0.0, h - 1)
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        idx_rows += [
+            y0.astype(jnp.int32), x0.astype(jnp.int32),
+            jnp.minimum(y0 + 1, h - 1).astype(jnp.int32),
+            jnp.minimum(x0 + 1, w - 1).astype(jnp.int32),
+        ]
+        wgt_rows += [(x - x0).astype(jnp.float32), (y - y0).astype(jnp.float32)]
+    idx = jnp.stack(idx_rows, axis=1)  # [B, 12, P]
+    wgt = jnp.stack(wgt_rows, axis=1)  # [B, 6, P]
 
     kern = functools.partial(_kernel, tile=tile, dims=dims)
     out = pl.pallas_call(
@@ -86,21 +107,25 @@ def fused_gather_lerp3(
         out_shape=jax.ShapeDtypeStruct((b, p_pad, c_total), feat2.dtype),
         grid=(b, p_pad // tile),
         in_specs=[
-            pl.BlockSpec((1, tile), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, *dims[0]), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, *dims[1]), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, *dims[2]), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((b, 12, tile), lambda i, j: (0, 0, j),
+                         memory_space=pltpu.ANY),
+            pl.BlockSpec((b, 6, tile), lambda i, j: (0, 0, j),
+                         memory_space=pltpu.ANY),
+            pl.BlockSpec((1, *dims[0]), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, *dims[1]), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, *dims[2]), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, tile, c_total), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
         ),
+        scratch_shapes=[
+            pltpu.SMEM((12, tile), jnp.int32),
+            pltpu.SMEM((6, tile), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         interpret=interpret,
-    )(gx, gy, feat2, feat4, feat8)
+    )(idx, wgt, feat2, feat4, feat8)
     return out[:, :p]
