@@ -27,11 +27,17 @@ from jax.experimental.pallas import tpu as pltpu
 def _kernel(idx_ref, wgt_ref, f2, f4, f8, out_ref, idx_smem, wgt_smem,
             sem, *, tile: int, dims):
     b_idx = pl.program_id(0)
+    j = pl.program_id(1)
 
     # Stage this (batch, tile)'s indices/weights into SMEM for scalar reads.
-    cp1 = pltpu.make_async_copy(idx_ref.at[b_idx], idx_smem, sem.at[0])
+    # idx/wgt stay in ANY (full-array blocks); slice the tile via DMA.
+    cp1 = pltpu.make_async_copy(
+        idx_ref.at[b_idx, :, pl.ds(j * tile, tile)], idx_smem, sem.at[0]
+    )
     cp1.start()
-    cp2 = pltpu.make_async_copy(wgt_ref.at[b_idx], wgt_smem, sem.at[1])
+    cp2 = pltpu.make_async_copy(
+        wgt_ref.at[b_idx, :, pl.ds(j * tile, tile)], wgt_smem, sem.at[1]
+    )
     cp2.start()
     cp1.wait()
     cp2.wait()
@@ -107,9 +113,9 @@ def fused_gather_lerp3(
         out_shape=jax.ShapeDtypeStruct((b, p_pad, c_total), feat2.dtype),
         grid=(b, p_pad // tile),
         in_specs=[
-            pl.BlockSpec((b, 12, tile), lambda i, j: (0, 0, j),
+            pl.BlockSpec((b, 12, p_pad), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.ANY),
-            pl.BlockSpec((b, 6, tile), lambda i, j: (0, 0, j),
+            pl.BlockSpec((b, 6, p_pad), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.ANY),
             pl.BlockSpec((1, *dims[0]), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
