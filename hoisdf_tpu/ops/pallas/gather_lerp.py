@@ -9,8 +9,17 @@ tile's precomputed corner indices/weights into SMEM scratch, and walks the
 point tile with dynamic ``pl.ds`` corner reads, fusing 12 reads + lerp per
 point into one pass.
 
-Status: experimental — guarded opt-in; the XLA gather path is the default.
-Verified against grid_sample_bilinear in interpret mode.
+Status: experimental, interpret-verified, NOT yet lowerable on this Mosaic
+version — kept as a reference implementation.  Findings from real-TPU
+attempts (each constraint hit in turn):
+  1. block shapes: dims (-2,-1) must divide (8,128) or equal the array dims;
+  2. `pltpu.ANY` inputs require full-array blocks + trivial index maps
+     (slice inside the kernel via DMA instead);
+  3. dynamic `pl.ds` starts on the sublane dim (-2) must be provably
+     8-aligned — arbitrary per-point corner columns cannot satisfy this
+     without an 8x sublane-padding relayout of the feature maps.
+The production path instead routes small levels through the exact one-hot
+matmul (MXU) and keeps XLA gathers for stride2/4/8; see CLAUDE.md perf notes.
 """
 
 from __future__ import annotations
