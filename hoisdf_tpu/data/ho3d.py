@@ -125,10 +125,14 @@ class HO3DDataset:
         K = np.asarray(meta["camMat"], np.float64).reshape(3, 3)
 
         if self.mode == "evaluation":
-            # Eval: bbox + root joint only (data/ho3d.py:521-556)
-            root_joint = COORD_CHANGE_MAT @ np.asarray(meta["handJointsRoot"], np.float32) \
-                if "handJointsRoot" in meta else \
-                COORD_CHANGE_MAT @ np.asarray(meta["handJoints3D"], np.float32)
+            # Eval: bbox + root joint only (data/ho3d.py:521-556).  The
+            # evaluation split stores just the root under handJoints3D.
+            hj = np.asarray(
+                meta.get("handJointsRoot", meta["handJoints3D"]), np.float32
+            )
+            if hj.ndim == 2:
+                hj = hj[0]
+            root_joint = COORD_CHANGE_MAT @ hj
             bbox_hand = np.asarray(meta["handBoundingBox"], np.float32)
             obj_corners = COORD_CHANGE_MAT @ np.asarray(
                 meta["objCorners3D"], np.float32
