@@ -115,6 +115,41 @@ def grid_sample_bilinear_matmul(feat: jax.Array, grid: jax.Array) -> jax.Array:
     return jnp.einsum("bph,bhc->bpc", weights, flat)
 
 
+def grid_sample_bilinear_slices(feat: jax.Array, grid: jax.Array) -> jax.Array:
+    """Bilinear sampling fetching each point's 2x2xC footprint as ONE
+    lax.gather slice (vs 4 scalar-row gathers) — bit-identical results.
+
+    Border clamping is re-expressed as a clamped slice start with adjusted
+    weights: with x0c = min(floor(x), W-2) and w2 = clip(x - x0c, 0, 1),
+    the pair (x0c, x0c+1) weighted (1-w2, w2) equals the clamped-coordinate
+    lerp for interior and border points alike.
+    """
+    b, h, w, c = feat.shape
+    x = jnp.clip((grid[..., 0] + 1.0) * 0.5 * (w - 1), 0.0, w - 1)
+    y = jnp.clip((grid[..., 1] + 1.0) * 0.5 * (h - 1), 0.0, h - 1)
+    x0 = jnp.minimum(jnp.floor(x), w - 2).astype(jnp.int32)
+    y0 = jnp.minimum(jnp.floor(y), h - 2).astype(jnp.int32)
+    wx = jnp.clip(x - x0, 0.0, 1.0)[..., None]
+    wy = jnp.clip(y - y0, 0.0, 1.0)[..., None]
+
+    starts = jnp.stack([y0, x0], axis=-1)  # [B, P, 2]
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3),
+        collapsed_slice_dims=(),
+        start_index_map=(0, 1),
+    )
+
+    def per_image(f, s):
+        return jax.lax.gather(
+            f, s, dnums, slice_sizes=(2, 2, c), mode="clip"
+        )  # [P, 2, 2, C]
+
+    patch = jax.vmap(per_image)(feat, starts)  # [B, P, 2, 2, C]
+    top = patch[:, :, 0, 0] * (1 - wx) + patch[:, :, 0, 1] * wx
+    bot = patch[:, :, 1, 0] * (1 - wx) + patch[:, :, 1, 1] * wx
+    return top * (1 - wy) + bot * wy
+
+
 # Below this table size the one-hot-matmul formulation beats the gather unit.
 MATMUL_GATHER_MAX_TABLE = 256
 
@@ -142,7 +177,8 @@ def multiscale_point_features(
         elif matmul_small_levels and hw <= MATMUL_GATHER_MAX_TABLE:
             parts.append(grid_sample_bilinear_matmul(feat, grid))
         else:
-            parts.append(grid_sample_bilinear(feat, grid))
+            # single 2x2xC-slice gather per point (exact, 4x fewer gathers)
+            parts.append(grid_sample_bilinear_slices(feat, grid))
     return jnp.concatenate(parts, axis=-1)
 
 
