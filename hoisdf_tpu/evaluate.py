@@ -257,22 +257,61 @@ def main():
     if args.batch_size % n_dev:
         args.batch_size = max(n_dev, args.batch_size - args.batch_size % n_dev)
 
-    for i in range(args.batches):
-        batch_np = synthetic_batch(cfg, args.batch_size, seed=i, train=False)
-        inputs, targets = split_inputs_targets(batch_np)
+    if args.synthetic:
+        def batches():
+            for i in range(args.batches):
+                b = synthetic_batch(cfg, args.batch_size, seed=i, train=False)
+                inputs, targets = split_inputs_targets(b)
+                templates = np.random.RandomState(0).randn(
+                    args.batch_size, 100, 3
+                ).astype(np.float32) * 0.05
+                yield inputs, targets, templates
+    else:
+        # Real dataset eval (main/test.py:84-118): simplified YCB templates
+        # + the test/evaluation split.
+        from hoisdf_tpu.data.loader import DataLoader
+
+        if cfg.dataset == "dexycb":
+            from hoisdf_tpu.data.dexycb import DexYCBDataset
+
+            dataset = DexYCBDataset(cfg, "test", mano_model)
+        else:
+            from hoisdf_tpu.data.ho3d import HO3DDataset
+
+            dataset = HO3DDataset(cfg, "evaluation", mano_model)
+        templates_by_cls, obj_names = prepare_model_templates(
+            cfg.simple_object_models_dir
+        )
+        loader = DataLoader(
+            dataset, args.batch_size, shuffle=False,
+            num_workers=cfg.num_data_workers, drop_last=True,
+        )
+
+        def batches():
+            for b in loader:
+                inputs = {k: v for k, v in b.items() if not k.startswith("target_")}
+                targets = {k[7:]: v for k, v in b.items() if k.startswith("target_")}
+                templates = np.stack(
+                    [templates_by_cls[int(c) - 1] for c in inputs["obj_cls"]]
+                )
+                yield inputs, targets, templates
+
+    for inputs, targets, templates in batches():
         with mesh:
             inputs_j = shard_batch(
-                {k: jnp.asarray(v) for k, v in inputs.items()}, mesh
+                {k: jnp.asarray(v) for k, v in inputs.items()
+                 if k != "obj_cls"}, mesh,
             )
             preds = eval_step(params, batch_stats, inputs_j)
-        templates = jnp.asarray(
-            np.random.RandomState(0).randn(args.batch_size, 100, 3).astype(np.float32)
-            * 0.05
-        )
-        evaluator.feed(preds, targets, inputs, templates)
+        evaluator.feed(preds, targets, inputs, jnp.asarray(templates))
 
     os.makedirs(args.out, exist_ok=True)
     path = evaluator.write_results(args.out)
+    if cfg.dataset == "ho3d" and not args.synthetic:
+        from hoisdf_tpu.data.ho3d import dump_codalab_json
+
+        dump_codalab_json(args.out, evaluator.joint_list, evaluator.mesh_list)
+        print("wrote", os.path.join(args.out, "pred_mano.json"))
     print("wrote", path)
     with open(path) as f:
         print(f.read())
