@@ -152,13 +152,14 @@ class HOISDF(nn.Module):
 
     def _sdf_decoder_inputs(
         self, pyramid, points_scaled, center, cam_intr, sdf_scale,
-        nearest: bool = False,
+        nearest: bool = False, slice_gather: bool = False,
     ):
         """Assemble the flat [B*P, 289] decoder inputs + posenc."""
         c = self.cfg
         grid, _ = self._gather_grid(points_scaled, center, cam_intr, sdf_scale)
         feats = multiscale_point_features(
-            pyramid, grid, c.multiscale_layers, nearest=nearest
+            pyramid, grid, c.multiscale_layers, nearest=nearest,
+            slice_gather=slice_gather,
         )
         points_fea = self.linear_sdfin(feats)
         posenc = nerf_positional_encoding(points_scaled, c.nerf_num_freqs)
@@ -221,7 +222,7 @@ class HOISDF(nn.Module):
             if use_fused:
                 flat, _ = self._sdf_decoder_inputs(
                     pyramid, pts, center, cam_intr, sdf_scale,
-                    nearest=c.infer_gather_nearest,
+                    nearest=c.infer_gather_nearest, slice_gather=True,
                 )
                 # The whole sampler is no-grad (reference main/model.py:463);
                 # severing gradients at the kernel INPUTS keeps the Pallas

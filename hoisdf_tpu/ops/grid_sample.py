@@ -161,12 +161,16 @@ def multiscale_point_features(
     *,
     nearest: bool = False,
     matmul_small_levels: bool = True,
+    slice_gather: bool = False,
 ) -> jax.Array:
     """Gather and channel-concat features from every pyramid level.
 
     Equivalent to the reference's 5x grid_sample + cat loop
     (main/model.py:203-214) but with NHWC maps; returns [B, P, sum(C_l)].
     Small levels use the exact matmul formulation (MXU) by default.
+    ``slice_gather`` switches large levels to the single 2x2xC-slice gather
+    — much faster forward, but its scatter-add transpose is slow, so callers
+    enable it only on no-grad paths (the field-sampling hot loop).
     """
     parts = []
     for name in layer_names:
@@ -176,9 +180,10 @@ def multiscale_point_features(
             parts.append(grid_sample_nearest(feat, grid))
         elif matmul_small_levels and hw <= MATMUL_GATHER_MAX_TABLE:
             parts.append(grid_sample_bilinear_matmul(feat, grid))
-        else:
-            # single 2x2xC-slice gather per point (exact, 4x fewer gathers)
+        elif slice_gather:
             parts.append(grid_sample_bilinear_slices(feat, grid))
+        else:
+            parts.append(grid_sample_bilinear(feat, grid))
     return jnp.concatenate(parts, axis=-1)
 
 
