@@ -121,3 +121,68 @@ def test_torchvision_resnet_conversion_loads():
         {"params": params["backbone"], "batch_stats": stats["backbone"]}, img
     )
     assert out.shape == (1, 1, 1, 512)
+
+
+def _fake_big_decoder_state():
+    """Shape-correct torch state dict for Decoder_big (module.py:147-218)."""
+    rng = np.random.RandomState(1)
+    state = {}
+    pre = "decoder_net.resnet_decoder."
+
+    def conv(name, o, i, k):
+        state[pre + name + ".weight"] = rng.randn(o, i, k, k).astype(np.float32) * 0.01
+        state[pre + name + ".bias"] = np.zeros(o, np.float32)
+
+    def bn(name, c):
+        state[pre + name + ".weight"] = np.ones(c, np.float32)
+        state[pre + name + ".bias"] = np.zeros(c, np.float32)
+        state[pre + name + ".running_mean"] = np.zeros(c, np.float32)
+        state[pre + name + ".running_var"] = np.ones(c, np.float32)
+
+    def deconv(name, i, o):
+        state[pre + name + ".weight"] = rng.randn(i, o, 4, 4).astype(np.float32) * 0.01
+
+    dims = [(2048, 1024), (1024, 512), (512, 256), (256, 128)]
+    fuse_in = [2048, 1024, 512, 64 + 128]
+    for n, ((i, o), fi) in enumerate(zip(dims, fuse_in), start=1):
+        deconv(f"deconv{n}.0", i, o)
+        bn(f"deconv{n}.1", o)
+        conv(f"conv{n}.0", o, fi, 3)
+        bn(f"conv{n}.1", o)
+    for head in ("convOut_hm", "convOut_hand_seg", "convOut_obj_seg"):
+        # [128, 128, 64, 1] chain: convs at 0,3,6; BNs at 1,4
+        conv(f"{head}.0", 128, 128, 1)
+        bn(f"{head}.1", 128)
+        conv(f"{head}.3", 64, 128, 1)
+        bn(f"{head}.4", 64)
+        conv(f"{head}.6", 1, 64, 1)
+    return state
+
+
+def test_big_decoder_conversion_structure():
+    from hoisdf_tpu.models.decoder import DecoderBig
+
+    params, stats = convert_state_dict(_fake_big_decoder_state(), big_decoder=True)
+    model = DecoderBig()
+    img_feat = jnp.ones((1, 2, 2, 2048))
+    skips = {
+        "stride16": jnp.ones((1, 4, 4, 1024)),
+        "stride8": jnp.ones((1, 8, 8, 512)),
+        "stride4": jnp.ones((1, 16, 16, 256)),
+        "stride2": jnp.ones((1, 32, 32, 64)),
+    }
+    init = model.init(jax.random.PRNGKey(0), img_feat, skips)
+    init_paths = {
+        jax.tree_util.keystr(p)
+        for p, _ in jax.tree_util.tree_flatten_with_path(init["params"])[0]
+    }
+    conv_paths = {
+        jax.tree_util.keystr(p).replace("['decoder_net']", "")
+        for p, _ in jax.tree_util.tree_flatten_with_path(params["decoder_net"])[0]
+    }
+    assert init_paths == conv_paths, init_paths ^ conv_paths
+    pyr, heads = model.apply(
+        {"params": params["decoder_net"], "batch_stats": stats["decoder_net"]},
+        img_feat, skips,
+    )
+    assert heads.shape == (1, 32, 32, 3)
