@@ -30,6 +30,10 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument(
+        "--train", action="store_true",
+        help="also time the full training step (both branches; slow compile)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -87,6 +91,42 @@ def main():
     dt = _time(pipeline, bbv, dv, img, grid, iters=args.iters)
     results.append({"metric": "backbone_fpn_gather_b8", "value": round(8 / dt, 2),
                     "unit": "frames/sec"})
+
+    if args.train:
+        from hoisdf_tpu.config import get_config
+        from hoisdf_tpu.data.synthetic import synthetic_batch, split_inputs_targets
+        from hoisdf_tpu.models.hoisdf import build_model
+        from hoisdf_tpu.train import create_train_state, make_train_step
+
+        cfg = get_config(
+            "dexycb", compute_dtype="float32" if args.cpu else "bfloat16",
+            sdf_infer_mode="coarse2fine",
+            **({"resnet_type": 18, "hidden_dim": 64, "dim_feedforward": 128,
+                "enc_layers": 2, "dec_layers": 2, "num_samp_hand": 32,
+                "num_samp_obj": 16, "input_img_shape": (64, 64),
+                "output_hm_shape": (32, 32, 32), "bins_n": 16,
+                "sdf_infer_chunk": 2048} if args.cpu else {}),
+        )
+        batch_n = 2 if args.cpu else 22
+        model = build_model(cfg)
+        b = synthetic_batch(cfg, batch_n, train=True)
+        t_inputs, t_targets = split_inputs_targets(b)
+        t_inputs = {k: jnp.asarray(v) for k, v in t_inputs.items()}
+        t_targets = {k: jnp.asarray(v) for k, v in t_targets.items()}
+        state = create_train_state(
+            cfg, model, jax.random.PRNGKey(0), t_inputs, 1000
+        )
+        step = make_train_step(cfg, model, buffers)
+        for name, use_pre in (("train_presampled", True), ("train_field", False)):
+            s = state
+            def one():
+                nonlocal s
+                s, losses = step(s, t_inputs, t_targets, jax.random.PRNGKey(1),
+                                 jnp.asarray(0.03), use_presampled=use_pre)
+                return losses["total"]
+            dt = _time(lambda: one(), iters=max(args.iters // 2, 2))
+            results.append({"metric": name, "value": round(batch_n / dt, 1),
+                            "unit": "frames/sec"})
 
     for r in results:
         print(json.dumps(r))
