@@ -74,39 +74,56 @@ def mano_forward(
     center_idx: Optional[int] = 0,
     flat_hand_mean: bool = True,
     side: str = "right",
+    joint_rot_mode: str = "axisang",
 ):
     """MANO forward: pose/shape -> (verts [B,778,3] mm, joints [B,21,3] mm).
 
-    Mirrors manolayer.py:111-276 with root_rot_mode='axisang'.
+    Mirrors manolayer.py:111-276 with root_rot_mode='axisang'; the
+    joint_rot_mode='rotmat' branch (manolayer.py:158-169) takes [B,16,3,3]
+    matrices and projects them onto SO(3).
 
     Args:
       pose_coeffs: [B, 3 + ncomps] — global axis-angle rot then hand pose
-        (PCA coefficients when use_pca else 45-d axis-angle).
+        (PCA coefficients when use_pca else 45-d axis-angle); or [B,16,3,3]
+        rotation matrices when joint_rot_mode='rotmat'.
       betas: [B, 10] shape params, or None for the template shape.
       trans: [B, 3] translation in metres, or None (recenter on center_idx).
     """
     batch = pose_coeffs.shape[0]
     dtype = pose_coeffs.dtype
 
-    hand_pose = pose_coeffs[:, 3 : 3 + ncomps]
-    if use_pca:
-        full_hand_pose = jnp.matmul(
-            hand_pose, buffers.hands_components[:ncomps], precision=_PREC
-        )
-    else:
-        full_hand_pose = hand_pose
-    hands_mean = (
-        jnp.zeros_like(buffers.hands_mean) if flat_hand_mean else buffers.hands_mean
-    )
-    full_pose = jnp.concatenate(
-        [pose_coeffs[:, :3], hands_mean[None] + full_hand_pose], axis=1
-    )  # [B, 48]
+    if not use_pca and joint_rot_mode == "rotmat":
+        from hoisdf_tpu.ops.rotations import batch_rotprojs
 
-    rot_mats = batch_rodrigues(full_pose.reshape(-1, 3)).reshape(batch, 16, 3, 3)
-    root_rot = rot_mats[:, 0]
-    rot_map = rot_mats[:, 1:]  # [B, 15, 3, 3]
-    eye = jnp.eye(3, dtype=dtype)
-    pose_map = (rot_map - eye).reshape(batch, 135)
+        assert pose_coeffs.shape[1:] == (16, 3, 3), pose_coeffs.shape
+        pose_rots = batch_rotprojs(pose_coeffs)
+        root_rot = pose_rots[:, 0]
+        rot_map = pose_rots[:, 1:]
+        eye = jnp.eye(3, dtype=dtype)
+        pose_map = (rot_map - eye).reshape(batch, 135)
+    else:
+        hand_pose = pose_coeffs[:, 3 : 3 + ncomps]
+        if use_pca:
+            full_hand_pose = jnp.matmul(
+                hand_pose, buffers.hands_components[:ncomps], precision=_PREC
+            )
+        else:
+            full_hand_pose = hand_pose
+        hands_mean = (
+            jnp.zeros_like(buffers.hands_mean) if flat_hand_mean
+            else buffers.hands_mean
+        )
+        full_pose = jnp.concatenate(
+            [pose_coeffs[:, :3], hands_mean[None] + full_hand_pose], axis=1
+        )  # [B, 48]
+
+        rot_mats = batch_rodrigues(full_pose.reshape(-1, 3)).reshape(
+            batch, 16, 3, 3
+        )
+        root_rot = rot_mats[:, 0]
+        rot_map = rot_mats[:, 1:]  # [B, 15, 3, 3]
+        eye = jnp.eye(3, dtype=dtype)
+        pose_map = (rot_map - eye).reshape(batch, 135)
 
     # Shape blend (manolayer.py:172-186)
     if betas is None:

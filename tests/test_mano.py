@@ -67,3 +67,21 @@ def test_mano_vmap_over_decoder_layers():
     np.testing.assert_allclose(
         np.asarray(v_vmap.reshape(24, 778, 3)), np.asarray(v_flat), atol=1e-3
     )
+
+
+def test_mano_rotmat_mode_matches_axisang():
+    # joint_rot_mode='rotmat' with exact rotation matrices must agree with
+    # the axis-angle path (manolayer.py:158-169 branch).
+    from hoisdf_tpu.ops.rotations import batch_rodrigues
+
+    layer = _layer()
+    rng = np.random.RandomState(2)
+    pose_aa = jnp.asarray(rng.randn(2, 48).astype(np.float32) * 0.3)
+    betas = jnp.asarray(rng.randn(2, 10).astype(np.float32) * 0.3)
+    v_aa, j_aa = mano_forward(layer.buffers, pose_aa, betas)
+    rots = batch_rodrigues(pose_aa.reshape(-1, 3)).reshape(2, 16, 3, 3)
+    v_rm, j_rm = mano_forward(
+        layer.buffers, rots, betas, joint_rot_mode="rotmat", use_pca=False
+    )
+    np.testing.assert_allclose(np.asarray(v_aa), np.asarray(v_rm), atol=1e-2)
+    np.testing.assert_allclose(np.asarray(j_aa), np.asarray(j_rm), atol=1e-2)
