@@ -24,7 +24,6 @@ from hoisdf_tpu.utils.profiling import StepStats
 
 INPUT_KEYS = (
     "img", "cam_intr", "mano_root", "obj_center_cam", "bbox_hand", "bbox_obj",
-    "hand_sdf_points", "obj_sdf_points",
 )
 
 
@@ -62,8 +61,7 @@ class Predictor:
         }
         variables = self.model.init(
             {"params": jax.random.PRNGKey(0)}, self._template,
-            use_presampled=False, train=False,
-            supervise_sdf=self.cfg.dataset == "dexycb",
+            use_presampled=False, train=False, supervise_sdf=False,
         )
         self.params = variables["params"]
         self.batch_stats = variables.get("batch_stats", {})
@@ -77,7 +75,10 @@ class Predictor:
                 raise FileNotFoundError(f"no snapshot under {ckpt_dir}")
             self.params = restored["params"]
             self.batch_stats = restored["batch_stats"]
-        self._eval_step = make_eval_step(self.cfg, self.model, self.mano)
+        # Serving never has GT SDF sample points; disable that branch.
+        self._eval_step = make_eval_step(
+            self.cfg, self.model, self.mano, supervise_sdf=False
+        )
         self.stats = StepStats()
 
     def warmup(self) -> None:

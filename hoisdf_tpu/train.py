@@ -238,10 +238,19 @@ def make_train_step(cfg: Config, model: HOISDF, mano_buffers: ManoBuffers):
     return train_step
 
 
-def make_eval_step(cfg: Config, model: HOISDF, mano_buffers: ManoBuffers):
-    """Jitted eval forward: field-guided sampling, no dropout, running BN."""
+def make_eval_step(
+    cfg: Config, model: HOISDF, mano_buffers: ManoBuffers,
+    supervise_sdf: Optional[bool] = None,
+):
+    """Jitted eval forward: field-guided sampling, no dropout, running BN.
 
-    supervise = cfg.dataset == "dexycb"
+    ``supervise_sdf`` defaults to the reference behavior (DexYCB eval feeds
+    GT SDF sample points, main/model.py:370); pass False for pure serving.
+    """
+
+    supervise = (
+        cfg.dataset == "dexycb" if supervise_sdf is None else supervise_sdf
+    )
 
     @jax.jit
     def eval_step(params, batch_stats, inputs):
