@@ -85,3 +85,35 @@ def test_bbox_mask_excludes_points():
     pix = jnp.einsum("bpc,bkc->bpk", cam_pts, cam)
     pix = pix[..., :2] / pix[..., 2:3]
     assert float(pix[..., 0].max()) < 128.0
+
+
+def test_degenerate_bbox_still_returns_static_shapes():
+    # bbox excluding every lattice point: scores are all +inf, but shapes
+    # stay static and outputs finite (the reference would crash here —
+    # its ragged filter yields an empty tensor, main/model.py:301-352).
+    center, cam, _ = _setup()
+    bbox = jnp.asarray(np.array([[500.0, 500.0, 501.0, 501.0]] * 2, np.float32))
+    pts, sdf = sdf_guided_sample(
+        sphere_sdf, center, cam, bbox, sdf_scale=3.1, num_points=16,
+        bins_n=8, chunk=512,
+    )
+    assert pts.shape == (2, 16, 3)
+    assert np.isfinite(np.asarray(sdf)).all()
+    pts2, sdf2 = sdf_guided_sample_coarse2fine(
+        sphere_sdf, center, cam, bbox, sdf_scale=3.1, num_points=16,
+        bins_n=8, coarse_factor=2, keep_cells=8,
+    )
+    assert pts2.shape == (2, 16, 3)
+    assert np.isfinite(np.asarray(sdf2)).all()
+
+
+def test_fewer_in_bbox_points_than_k_fills_from_outside():
+    # bbox admitting only a sliver: selection still returns K points
+    # (out-of-bbox +inf scores fill the remainder deterministically).
+    center, cam, _ = _setup()
+    bbox = jnp.asarray(np.array([[120.0, 120.0, 136.0, 136.0]] * 2, np.float32))
+    pts, sdf = sdf_guided_sample(
+        sphere_sdf, center, cam, bbox, sdf_scale=3.1, num_points=64,
+        bins_n=8, chunk=512,
+    )
+    assert pts.shape == (2, 64, 3)
