@@ -5,19 +5,111 @@ inference — backbone, pyramid, dual SDF fields, batched field-guided 64^3
 point sampling, transformers, MANO head — at the reference eval batch size.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is measured against the first recorded round (BENCH_r1.json)
-when present — the reference repo publishes no numbers (BASELINE.md), so the
+``vs_baseline`` is measured against the first green recorded round when
+present — the reference repo publishes no numbers (BASELINE.md), so the
 baseline is self-relative until a PyTorch GPU measurement exists.
+
+Resilience (round-1 postmortem, VERDICT.md "Weak #2"): params are initialized
+on the host CPU backend (no eager op-by-op TPU traffic, no init-time HBM
+spike), and the timed run retries down a batch-size ladder on
+RESOURCE_EXHAUSTED / transient TPU-tunnel errors, clearing caches between
+attempts, so one flaky allocation can no longer zero out the round's data.
 """
 
 from __future__ import annotations
 
 import argparse
+import gc
 import glob
 import json
 import os
 import sys
 import time
+import traceback
+
+
+def _log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def _read_baseline() -> float | None:
+    """First green recorded round (driver artifact or raw bench JSON)."""
+    for path in sorted(
+        glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json"))
+    ):
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except Exception:
+            continue
+        parsed = doc.get("parsed") if isinstance(doc, dict) else None
+        val = (parsed or {}).get("value") if isinstance(parsed, dict) else None
+        if val is None and isinstance(doc, dict):
+            val = doc.get("value")
+        if isinstance(val, (int, float)) and val > 0:
+            return float(val)
+    return None
+
+
+def _init_params_on_cpu(cfg, model, batch_np_train):
+    """Initialize model variables on the host CPU backend: batch-1 presampled
+    path (params are batch-size independent), so the TPU sees zero init
+    traffic and no eager-allocation HBM spike."""
+    import jax
+    import jax.numpy as jnp
+
+    from hoisdf_tpu.data.synthetic import split_inputs_targets
+
+    cpu = jax.devices("cpu")[0]
+    inputs_np, _ = split_inputs_targets(batch_np_train)
+    with jax.default_device(cpu):
+        inputs1 = {k: jnp.asarray(v[:1]) for k, v in inputs_np.items()}
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "sample_noise": jax.random.PRNGKey(1),
+             "dropout": jax.random.PRNGKey(2)},
+            inputs1, use_presampled=True, dist_range=0.03, train=False,
+        )
+    return variables
+
+
+def _attempt(cfg, model, mano, variables, batch: int, iters: int, warmup: int):
+    """One timed measurement at the given batch size.  Raises on failure."""
+    import jax
+    import jax.numpy as jnp
+
+    from hoisdf_tpu.data.synthetic import synthetic_batch, split_inputs_targets
+    from hoisdf_tpu.train import make_eval_step
+
+    device = jax.devices()[0]
+    params = jax.device_put(variables["params"], device)
+    batch_stats = jax.device_put(variables.get("batch_stats", {}), device)
+
+    batch_np = synthetic_batch(cfg, batch_size=batch, train=False)
+    inputs, _ = split_inputs_targets(batch_np)
+    inputs = {k: jax.device_put(jnp.asarray(v), device) for k, v in inputs.items()}
+
+    eval_step = make_eval_step(cfg, model, mano)
+
+    _log(f"attempt batch={batch}: compiling + warmup x{warmup} "
+         "(TPU first-compile can take 13-20 min over the tunnel)")
+    for _ in range(warmup):
+        preds = eval_step(params, batch_stats, inputs)
+        jax.block_until_ready(preds)
+
+    iter_times = []
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        it0 = time.perf_counter()
+        preds = eval_step(params, batch_stats, inputs)
+        jax.block_until_ready(preds)
+        iter_times.append(time.perf_counter() - it0)
+    dt = time.perf_counter() - t0
+
+    fps = batch * iters / dt
+    p50 = sorted(iter_times)[len(iter_times) // 2] / batch * 1000
+    _log(f"attempt batch={batch}: OK — {fps:.1f} f/s, p50 {p50:.2f} ms/frame")
+    return fps, p50
 
 
 def main() -> None:
@@ -36,20 +128,20 @@ def main() -> None:
     )
     parser.add_argument("--no-fused", action="store_true",
                         help="disable the fused Pallas SDF-MLP kernel")
+    parser.add_argument("--no-retry", action="store_true",
+                        help="fail immediately instead of walking the ladder")
     args = parser.parse_args()
 
     import jax
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
 
     from hoisdf_tpu.config import get_config
-    from hoisdf_tpu.data.synthetic import synthetic_batch, split_inputs_targets
+    from hoisdf_tpu.data.synthetic import synthetic_batch
     from hoisdf_tpu.mano.layer import ManoBuffers
     from hoisdf_tpu.mano.model import make_synthetic_mano
     from hoisdf_tpu.models.hoisdf import build_model
-    from hoisdf_tpu.train import make_eval_step
 
     if args.cpu:
         cfg = get_config(
@@ -68,47 +160,43 @@ def main() -> None:
     model = build_model(cfg)
     mano = ManoBuffers.from_model(make_synthetic_mano(0))
 
-    batch_np = synthetic_batch(cfg, batch_size=args.batch, train=False)
-    inputs, _ = split_inputs_targets(batch_np)
-    inputs = {k: jnp.asarray(v) for k, v in inputs.items()}
+    batch_np_train = synthetic_batch(cfg, batch_size=1, train=True)
+    variables = _init_params_on_cpu(cfg, model, batch_np_train)
+    _log("params initialized on host CPU")
 
-    variables = model.init(
-        {"params": jax.random.PRNGKey(0)}, inputs, use_presampled=False,
-        train=False,
-    )
-    params = variables["params"]
-    batch_stats = variables.get("batch_stats", {})
-
-    eval_step = make_eval_step(cfg, model, mano)
-
-    for _ in range(args.warmup):
-        preds = eval_step(params, batch_stats, inputs)
-        jax.block_until_ready(preds)
-
-    iter_times = []
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        it0 = time.perf_counter()
-        preds = eval_step(params, batch_stats, inputs)
-        jax.block_until_ready(preds)
-        iter_times.append(time.perf_counter() - it0)
-    dt = time.perf_counter() - t0
-
-    fps = args.batch * args.iters / dt
-    p50 = sorted(iter_times)[len(iter_times) // 2] / args.batch * 1000
-    print(
-        f"[bench] p50 per-frame latency: {p50:.2f} ms (batch {args.batch})",
-        file=sys.stderr,
+    ladder = [args.batch] if (args.cpu or args.no_retry) else sorted(
+        {b for b in (args.batch, 16, 11, 8, 4) if b <= args.batch}, reverse=True
     )
 
-    baseline = None
-    prev = sorted(glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json")))
-    if prev:
+    fps = p50 = None
+    used_batch = None
+    last_exc = None
+    for batch in ladder:
         try:
-            with open(prev[0]) as f:
-                baseline = json.load(f).get("value")
-        except Exception:
-            baseline = None
+            fps, p50 = _attempt(
+                cfg, model, mano, variables, batch, args.iters, args.warmup
+            )
+            used_batch = batch
+            break
+        except Exception as exc:  # noqa: BLE001 — transient TPU/tunnel errors
+            last_exc = exc
+            _log(f"attempt batch={batch} FAILED: {type(exc).__name__}: "
+                 f"{str(exc)[:500]}")
+            traceback.print_exc(file=sys.stderr)
+            if batch == ladder[-1]:
+                break
+            _log("clearing caches and retrying at a smaller batch")
+            jax.clear_caches()
+            gc.collect()
+            time.sleep(5)
+
+    if fps is None:
+        _log("all ladder attempts failed")
+        raise SystemExit(1) from last_exc
+
+    _log(f"final: batch {used_batch}, p50 per-frame latency {p50:.2f} ms")
+
+    baseline = _read_baseline()
     vs = fps / baseline if baseline else 1.0
 
     print(
