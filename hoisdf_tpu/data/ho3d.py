@@ -88,15 +88,31 @@ class HO3DDataset:
         split = "train" if mode == "train" else "evaluation"
         with open(os.path.join(root, f"{split}.txt")) as f:
             self.sample_list = [line.strip() for line in f if line.strip()]
-        if cfg.add_render and mode == "train":
-            render_list = os.path.join(root, "render_train.txt")
-            if os.path.exists(render_list):
-                with open(render_list) as f:
-                    self.render_samples = [l.strip() for l in f if l.strip()]
-                self.sample_list = self.sample_list + [
-                    f"render/{s}" for s in self.render_samples
-                ]
         self.fast_data_dir = cfg.fast_data_dir
+        self.render_samples: list = []
+        self.render_hand_counts: Optional[np.ndarray] = None
+        if cfg.add_render and mode == "train":
+            # Rendered-data extension (data/ho3d.py:195-263): the sample list
+            # is whatever sits in <fast_data_dir>/render/sdf_processed, sorted;
+            # rgb/anno/seg live in sibling dirs under render/.
+            render_sdf_dir = os.path.join(self.fast_data_dir, "render",
+                                          "sdf_processed")
+            if os.path.isdir(render_sdf_dir):
+                self.render_samples = sorted(
+                    f[:-4] for f in os.listdir(render_sdf_dir)
+                    if f.endswith(".npy") and not f.endswith("_index.npy")
+                )
+                index_path = os.path.join(
+                    self.fast_data_dir, "render", "sdf_index.npy"
+                )
+                if os.path.exists(index_path):
+                    # global per-sample hand counts (reference ho3d.py:204-222)
+                    self.render_hand_counts = np.load(index_path).reshape(
+                        len(self.render_samples), -1
+                    )[:, 0].astype(np.int64)
+                self.sample_list = self.sample_list + [
+                    f"render:{s}" for s in self.render_samples
+                ]
 
     def __len__(self) -> int:
         return len(self.sample_list)
@@ -112,10 +128,99 @@ class HO3DDataset:
         ) as f:
             return json.load(f)
 
+    def _draw_sdf_points(
+        self, rng: np.random.Generator, sdf_data: np.ndarray, n_hand_avail: int
+    ) -> np.ndarray:
+        """Draw supervision + near-surface 'pre' points (data/ho3d.py SDF
+        sampling, same contract as DexYCB): [2*(num_samp_hand+num_samp_obj),5]."""
+        cfg = self.cfg
+        hand_idx = rng.choice(n_hand_avail, cfg.num_samp_hand, replace=False)
+        obj_idx = rng.choice(
+            np.arange(n_hand_avail, sdf_data.shape[0]), cfg.num_samp_obj,
+            replace=False,
+        )
+        hand_near = np.where(
+            np.abs(sdf_data[:n_hand_avail, 3]) < cfg.points_filter_dist
+        )[0]
+        obj_near = np.where(
+            np.abs(sdf_data[n_hand_avail:, 4]) < cfg.points_filter_dist
+        )[0] + n_hand_avail
+        hand_pre_idx = rng.choice(hand_near, cfg.num_samp_hand, replace=False)
+        obj_pre_idx = rng.choice(obj_near, cfg.num_samp_obj, replace=False)
+        all_idx = np.concatenate([hand_idx, obj_idx, hand_pre_idx, obj_pre_idx])
+        return sdf_data[all_idx, :5].copy()
+
+    def _getitem_render(
+        self, fname: str, render_idx: int, rng: np.random.Generator
+    ) -> Dict[str, np.ndarray]:
+        """Rendered-sample decode (data/ho3d.py:195-263): png rgb, json anno,
+        png seg, render SDF dir.  Rendered annotations are already in OpenCV
+        camera coordinates (no OpenGL flip); objRot is a 3x3 matrix; MANO
+        params are zeros (the ho3d_render preset supervises via IK instead).
+
+        Layout deviation from the reference: rest-frame object corners are
+        read from the anno json (``objCorners3DRest``) — our preprocessing
+        bakes them in — instead of being recomputed from mesh files.
+        """
+        cfg = self.cfg
+        rdir = os.path.join(self.fast_data_dir, "render")
+        img = Image.open(os.path.join(rdir, "rgb", f"{fname}.png")).convert("RGB")
+        with open(os.path.join(rdir, "anno", f"{fname}.json")) as f:
+            anno = json.load(f)
+        K = np.asarray(anno["camMat"], np.float64).reshape(3, 3)
+        joints_3d = np.asarray(anno["handJoints3D"], np.float32)
+        _, joints_uv = T.project_points_np(joints_3d, K)
+        mano_param = np.zeros(58, np.float32)  # reference ho3d.py:249
+
+        obj_rot_mat = np.asarray(anno["objRot"], np.float32).reshape(3, 3)
+        obj_trans = np.asarray(anno["objTrans"], np.float32)
+        obj_rot = T.inv_rodrigues_np(obj_rot_mat.astype(np.float64)).astype(
+            np.float32
+        )
+        obj_corners = np.asarray(anno["objCorners3DRest"], np.float32)
+        rt = np.concatenate(
+            [obj_rot_mat.astype(np.float32), obj_trans[:, None]], axis=1
+        )
+        p3d, p2d = T.project_points_np(obj_corners, K, rt=rt)
+
+        seg = np.asarray(Image.open(os.path.join(rdir, "seg", f"{fname}.png")))
+        # render seg thresholds at 200 (reference ho3d.py:231-232)
+        hand_seg = Image.fromarray((seg[..., 0] > 200).astype(np.uint8))
+        obj_seg = Image.fromarray((seg[..., 2] > 200).astype(np.uint8))
+
+        sdf_data = np.load(os.path.join(rdir, "sdf_processed", f"{fname}.npy"))
+        if self.render_hand_counts is not None:
+            n_hand_avail = int(self.render_hand_counts[render_idx])
+        else:
+            n_hand_avail = int(
+                np.load(
+                    os.path.join(rdir, "sdf_processed", f"{fname}_index.npy")
+                )[0]
+            )
+        sdf_points = self._draw_sdf_points(rng, sdf_data, n_hand_avail)
+
+        (img, mano_param, K, hand_seg_a, obj_seg_a, p2d, joints_uv, bbox_hand,
+         bbox_obj, sdf_points, joints_3d, p3d, obj_rot, obj_trans) = self._aug(
+            rng, img, mano_param, joints_uv, K, hand_seg, obj_seg,
+            p2d, sdf_points, joints_3d, p3d, obj_rot, obj_trans,
+        )
+        return self._assemble(
+            cfg, img, mano_param, K, hand_seg_a, obj_seg_a, joints_uv,
+            joints_3d, sdf_points, bbox_hand, bbox_obj, obj_rot, obj_trans,
+            np.int32(HO3D_OBJECTS.index(anno["objName"]))
+            if anno.get("objName") in HO3D_OBJECTS else np.int32(-1),
+        )
+
     def __getitem__(self, idx: int, epoch: int = 0) -> Dict[str, np.ndarray]:
         cfg = self.cfg
         key = self.sample_list[idx]
         rng = self._rng(idx, epoch)
+        if key.startswith("render:"):
+            fname = key[len("render:"):]
+            return self._getitem_render(
+                fname, idx - (len(self.sample_list) - len(self.render_samples)),
+                rng,
+            )
         seq, frame = key.split("/")[-2:]
         split = "train" if self.mode == "train" else "evaluation"
         img = Image.open(
@@ -190,21 +295,7 @@ class HO3DDataset:
         n_hand_avail = int(
             np.load(os.path.join(self.fast_data_dir, f"{seq}_{frame}_index.npy"))[0]
         )
-        hand_idx = rng.choice(n_hand_avail, cfg.num_samp_hand, replace=False)
-        obj_idx = rng.choice(
-            np.arange(n_hand_avail, sdf_data.shape[0]), cfg.num_samp_obj,
-            replace=False,
-        )
-        hand_near = np.where(
-            np.abs(sdf_data[:n_hand_avail, 3]) < cfg.points_filter_dist
-        )[0]
-        obj_near = np.where(
-            np.abs(sdf_data[n_hand_avail:, 4]) < cfg.points_filter_dist
-        )[0] + n_hand_avail
-        hand_pre_idx = rng.choice(hand_near, cfg.num_samp_hand, replace=False)
-        obj_pre_idx = rng.choice(obj_near, cfg.num_samp_obj, replace=False)
-        all_idx = np.concatenate([hand_idx, obj_idx, hand_pre_idx, obj_pre_idx])
-        sdf_points = sdf_data[all_idx, :5].copy()
+        sdf_points = self._draw_sdf_points(rng, sdf_data, n_hand_avail)
 
         (img, mano_param, K, hand_seg_a, obj_seg_a, p2d, joints_uv, bbox_hand,
          bbox_obj, sdf_points, joints_3d, p3d, obj_rot, obj_trans) = self._aug(

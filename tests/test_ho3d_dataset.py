@@ -66,16 +66,56 @@ def ho3d_root(tmp_path_factory):
             np.save(sdf_dir / f"{seq}_{frame}_index.npy", np.array([n_h, n_o]))
         with open(root / f"{split}.txt", "w") as f:
             f.write("\n".join(keys) + "\n")
+
+    # rendered-data extension layout (reference data/ho3d.py:195-263):
+    # <sdf>/render/{rgb,anno,seg,sdf_processed} + global sdf_index.npy
+    rdir = sdf_dir / "render"
+    for d in ("rgb", "anno", "seg", "sdf_processed"):
+        os.makedirs(rdir / d, exist_ok=True)
+    hand_counts = []
+    for i in range(2):
+        fname = f"r{i:04d}"
+        Image.fromarray(
+            rng.randint(0, 255, (480, 640, 3), dtype=np.uint8)
+        ).save(rdir / "rgb" / f"{fname}.png")
+        seg = np.zeros((480, 640, 3), np.uint8)
+        seg[100:200, 200:300, 0] = 255
+        seg[150:250, 250:350, 2] = 255
+        Image.fromarray(seg).save(rdir / "seg" / f"{fname}.png")
+        # rendered annos are already OpenCV-convention (z > 0 in front)
+        j3d = rng.randn(21, 3) * 0.03 + np.array([0, 0, 0.6])
+        rot_aa = rng.randn(3) * 0.3
+        rot_mat = T.rodrigues_np(rot_aa.astype(np.float64)).astype(np.float32)
+        anno = {
+            "camMat": [[600.0, 0, 320], [0, 600, 240], [0, 0, 1]],
+            "handJoints3D": j3d.tolist(),
+            "objRot": rot_mat.tolist(),
+            "objTrans": [0.02, 0.0, 0.62],
+            "objCorners3DRest": (rng.randn(8, 3) * 0.05).tolist(),
+            "objName": "019_pitcher_base",
+        }
+        with open(rdir / "anno" / f"{fname}.json", "w") as f:
+            json.dump(anno, f)
+        n_h, n_o = 180, 140
+        pts = rng.randn(n_h + n_o, 3) * 0.05 + np.array([0, 0, 0.6])
+        data = np.concatenate(
+            [pts, rng.randn(n_h + n_o, 2) * 0.02,
+             rng.randint(0, 6, (n_h + n_o, 1))], axis=1,
+        ).astype(np.float32)
+        np.save(rdir / "sdf_processed" / f"{fname}.npy", data)
+        hand_counts.append(n_h)
+    np.save(rdir / "sdf_index.npy", np.asarray(hand_counts))
     return str(root), str(sdf_dir)
 
 
 def _cfg(ho3d_root, setting="ho3d", **over):
     root, sdf = ho3d_root
+    over.setdefault("add_render", False)
     return get_config(
         setting, data_dir=root, fast_data_dir=sdf,
         num_samp_hand=48, num_samp_obj=24, points_filter_dist=1.0,
         input_img_shape=(64, 64), output_hm_shape=(32, 32, 32),
-        use_big_decoder=False, add_render=False,
+        use_big_decoder=False,
         **over,
     )
 
@@ -107,6 +147,64 @@ def test_ho3d_train_getitem(ho3d_root):
     # (fixture places them at z=-0.6 in OpenGL convention)
     assert np.isfinite(s["target_joint_cam_no_trans"]).all()
     np.testing.assert_allclose(s["target_joint_cam_no_trans"][0], 0, atol=1e-4)
+
+
+def test_ho3d_render_getitem(ho3d_root):
+    cfg = _cfg(ho3d_root, setting="ho3d_render", add_render=True)
+    assert cfg.add_render and cfg.use_inverse_kinematics
+    ds = HO3DDataset(cfg, "train", make_synthetic_mano(0))
+    assert len(ds) == 4  # 2 regular + 2 rendered
+    s = ds.__getitem__(2, epoch=0)  # first rendered sample
+    assert s["img"].shape == (64, 64, 3)
+    assert s["hand_sdf_points"].shape == (48, 3)
+    # rendered samples carry no MANO labels (reference ho3d.py:249); the aug
+    # still rotates the global-orient slice, but articulation+shape stay zero
+    np.testing.assert_array_equal(s["target_mano_param"][3:], 0)
+    assert np.isfinite(s["target_joint_cam_no_trans"]).all()
+    np.testing.assert_allclose(s["target_joint_cam_no_trans"][0], 0, atol=1e-4)
+    # same flat-dict contract as regular train samples
+    reg = ds.__getitem__(0, epoch=0)
+    assert set(s.keys()) == set(reg.keys())
+    for k in s:
+        assert s[k].shape == reg[k].shape, k
+
+
+def test_ho3d_render_trains_end_to_end(ho3d_root):
+    """The ho3d_render preset (IK head, add_render) runs a full train step on
+    a mixed regular+rendered fixture batch (VERDICT round-1 item #3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hoisdf_tpu.data.loader import DataLoader
+    from hoisdf_tpu.data.synthetic import split_inputs_targets
+    from hoisdf_tpu.mano.layer import ManoBuffers
+    from hoisdf_tpu.models.hoisdf import build_model
+    from hoisdf_tpu.train import create_train_state, make_train_step
+
+    cfg = _cfg(
+        ho3d_root, setting="ho3d_render", add_render=True,
+        resnet_type=18, hidden_dim=64, dim_feedforward=128,
+        enc_layers=2, dec_layers=2, bins_n=16, sdf_infer_chunk=2048,
+    )
+    ds = HO3DDataset(cfg, "train", make_synthetic_mano(0))
+    loader = DataLoader(ds, batch_size=4, shuffle=False, num_workers=2)
+    batch = next(iter(loader))  # 2 regular + 2 rendered samples
+    inputs, targets = split_inputs_targets(batch)
+    inputs = {k: jnp.asarray(v) for k, v in inputs.items()}
+    targets = {k: jnp.asarray(v) for k, v in targets.items()}
+
+    model = build_model(cfg)
+    mano = ManoBuffers.from_model(make_synthetic_mano(0))
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), inputs, 10)
+    step = make_train_step(cfg, model, mano)
+    state, losses = step(
+        state, inputs, targets, jax.random.PRNGKey(1), jnp.asarray(0.03),
+        use_presampled=True,
+    )
+    assert np.isfinite(float(losses["total"]))
+    assert "mano_shape" in losses or "loss_mano_shape" in losses or any(
+        "shape" in k for k in losses
+    ), sorted(losses)
 
 
 def test_ho3d_eval_getitem(ho3d_root):
