@@ -258,6 +258,11 @@ class HO3DDataset:
                     HO3D_OBJECTS.index(meta["objName"])
                     if meta.get("objName") in HO3D_OBJECTS else -1, np.int32
                 ),
+                # pitcher_base is excluded from HO3D object metrics
+                # (common/metrics.py:131-143)
+                "obj_valid": np.asarray(
+                    meta.get("objName") != "019_pitcher_base"
+                ),
             }
 
         # ---- train ----

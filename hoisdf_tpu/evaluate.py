@@ -90,6 +90,19 @@ class Evaluator:
             self.joint_list: List[np.ndarray] = []
             self.mesh_list: List[np.ndarray] = []
 
+    def _obj_valid_mask(self, meta: Dict, b: int) -> np.ndarray:
+        """Per-sample object-metric validity.  HO3D excludes 019_pitcher_base
+        from ADD-S/MME (common/metrics.py:131-143); the dataset emits
+        ``obj_valid`` directly, with an ``obj_cls``-derived fallback."""
+        if "obj_valid" in meta:
+            return np.asarray(meta["obj_valid"]).astype(bool).reshape(b)
+        if self.cfg.dataset == "ho3d" and "obj_cls" in meta:
+            from hoisdf_tpu.data.ho3d import HO3D_OBJECTS
+
+            pitcher = HO3D_OBJECTS.index("019_pitcher_base")
+            return (np.asarray(meta["obj_cls"]).reshape(b) != pitcher)
+        return np.ones(b, bool)
+
     def feed(self, preds: Dict, targets: Dict, meta: Dict, templates: jax.Array):
         cfg = self.cfg
         b = int(meta["mano_root"].shape[0])
@@ -100,7 +113,7 @@ class Evaluator:
             obj_rot, obj_trans, targets["obj_rot"], targets["rel_obj_trans"],
             templates, ho3d=cfg.dataset == "ho3d",
         )
-        mask = np.asarray(meta.get("obj_valid", np.ones(b, bool)))
+        mask = self._obj_valid_mask(meta, b)
         n = int(mask.sum())
         if n:
             self.results["ADDS_error"] += float(
@@ -300,7 +313,7 @@ def main():
         with mesh:
             inputs_j = shard_batch(
                 {k: jnp.asarray(v) for k, v in inputs.items()
-                 if k != "obj_cls"}, mesh,
+                 if k not in ("obj_cls", "obj_valid")}, mesh,
             )
             preds = eval_step(params, batch_stats, inputs_j)
         evaluator.feed(preds, targets, inputs, jnp.asarray(templates))

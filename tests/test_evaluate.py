@@ -49,6 +49,42 @@ def test_dexycb_perfect_predictions():
         assert ev.results[k] / ev.total < 1e-2, (k, ev.results[k])
 
 
+def test_ho3d_excludes_pitcher_base_from_object_metrics():
+    """019_pitcher_base samples must not contribute to ADD-S/MME or the
+    sample count (common/metrics.py:131-143)."""
+    from hoisdf_tpu.data.ho3d import HO3D_OBJECTS
+
+    cfg = get_config("ho3d")
+    mano = ManoBuffers.from_model(make_synthetic_mano(0))
+    preds, targets, meta, templates = _perfect_batch(cfg, mano)
+    # sample 0 is a pitcher with a grossly wrong object pose prediction
+    pitcher = HO3D_OBJECTS.index("019_pitcher_base")
+    meta["obj_cls"] = np.array([pitcher, 0], np.int32)
+    preds = dict(preds)
+    bad = np.asarray(preds["obj_trans"]).copy()
+    bad[0] += 10.0  # 10 m off
+    preds["obj_trans"] = jnp.asarray(bad)
+
+    ev = Evaluator(cfg, mano)
+    ev.feed(preds, targets, meta, templates)
+    assert ev.total == 1  # only the non-pitcher counts (sample_nums semantics)
+    assert ev.results["ADDS_error"] / ev.total < 1e-2
+    assert ev.results["MME_error"] / ev.total < 1e-2
+
+    # explicit obj_valid from the dataset takes precedence
+    ev2 = Evaluator(cfg, mano)
+    meta2 = dict(meta, obj_valid=np.array([False, True]))
+    ev2.feed(preds, targets, meta2, templates)
+    assert ev2.total == 1
+    assert ev2.results["ADDS_error"] / ev2.total < 1e-2
+
+    # without the mask the bad pitcher prediction would poison the metric
+    ev3 = Evaluator(cfg, mano)
+    meta3 = dict(meta, obj_valid=np.array([True, True]))
+    ev3.feed(preds, targets, meta3, templates)
+    assert ev3.results["ADDS_error"] / ev3.total > 1.0
+
+
 def test_ho3d_accumulates_submission_lists(tmp_path):
     cfg = get_config("ho3d")
     mano = ManoBuffers.from_model(make_synthetic_mano(0))
