@@ -226,6 +226,14 @@ class DexYCBDataset:
         if do_flip:
             sdf_points[:, 0] *= -1
 
+        hand_part_labels = None
+        if cfg.classifier_branch and sdf_data.shape[1] > 5:
+            # part label column; clamp-invalidated -> -1 (sdf_utils.py:87-91)
+            hand_part_labels = np.where(
+                np.abs(sdf_data[hand_idx, 3]) > cfg.clamping_distance,
+                -1, sdf_data[hand_idx, 5].astype(np.int32),
+            ).astype(np.int32)
+
         # ---- augmentation / deterministic crop ----
         if self.mode == "train":
             (img, mano_param, K, hand_seg, obj_seg, p2d, joints_uv, bbox_hand,
@@ -241,6 +249,7 @@ class DexYCBDataset:
         return self._assemble(
             cfg, img, mano_param, K, hand_seg, obj_seg, joints_uv, joints_3d,
             sdf_points, bbox_hand, bbox_obj, obj_rot, obj_trans, obj_cls,
+            hand_part_labels=hand_part_labels,
         )
 
     # ---- augmentation (data/dexycb.py:219-353) --------------------------------
@@ -332,7 +341,7 @@ class DexYCBDataset:
 
     def _assemble(self, cfg, img, mano_param, K, hand_seg, obj_seg, joints_uv,
                   joints_3d, sdf_points, bbox_hand, bbox_obj, obj_rot, obj_trans,
-                  obj_cls) -> Dict[str, np.ndarray]:
+                  obj_cls, hand_part_labels=None) -> Dict[str, np.ndarray]:
         """Root-relative normalization + flat dict (data/dexycb.py:586-657)."""
         hand_root = joints_3d[0].copy()
         joints_3d = joints_3d - hand_root[None]
@@ -372,6 +381,8 @@ class DexYCBDataset:
                 obj_trans.astype(np.float32) - obj_center_cam
             ),
         }
+        if hand_part_labels is not None:
+            out["target_hand_part_labels"] = hand_part_labels.astype(np.int32)
         if self.mode == "train":
             hand_pre = sdf_points[nh + no : 2 * nh + no, :3].copy()
             obj_pre = sdf_points[2 * nh + no :, :3].copy()

@@ -130,9 +130,10 @@ class HO3DDataset:
 
     def _draw_sdf_points(
         self, rng: np.random.Generator, sdf_data: np.ndarray, n_hand_avail: int
-    ) -> np.ndarray:
+    ):
         """Draw supervision + near-surface 'pre' points (data/ho3d.py SDF
-        sampling, same contract as DexYCB): [2*(num_samp_hand+num_samp_obj),5]."""
+        sampling, same contract as DexYCB).  Returns
+        ([2*(num_samp_hand+num_samp_obj), 5] points, hand part labels or None)."""
         cfg = self.cfg
         hand_idx = rng.choice(n_hand_avail, cfg.num_samp_hand, replace=False)
         obj_idx = rng.choice(
@@ -148,7 +149,14 @@ class HO3DDataset:
         hand_pre_idx = rng.choice(hand_near, cfg.num_samp_hand, replace=False)
         obj_pre_idx = rng.choice(obj_near, cfg.num_samp_obj, replace=False)
         all_idx = np.concatenate([hand_idx, obj_idx, hand_pre_idx, obj_pre_idx])
-        return sdf_data[all_idx, :5].copy()
+        labels = None
+        if cfg.classifier_branch and sdf_data.shape[1] > 5:
+            # part label column; clamp-invalidated -> -1 (sdf_utils.py:87-91)
+            labels = np.where(
+                np.abs(sdf_data[hand_idx, 3]) > cfg.clamping_distance,
+                -1, sdf_data[hand_idx, 5].astype(np.int32),
+            ).astype(np.int32)
+        return sdf_data[all_idx, :5].copy(), labels
 
     def _getitem_render(
         self, fname: str, render_idx: int, rng: np.random.Generator
@@ -197,7 +205,9 @@ class HO3DDataset:
                     os.path.join(rdir, "sdf_processed", f"{fname}_index.npy")
                 )[0]
             )
-        sdf_points = self._draw_sdf_points(rng, sdf_data, n_hand_avail)
+        sdf_points, hand_part_labels = self._draw_sdf_points(
+            rng, sdf_data, n_hand_avail
+        )
 
         (img, mano_param, K, hand_seg_a, obj_seg_a, p2d, joints_uv, bbox_hand,
          bbox_obj, sdf_points, joints_3d, p3d, obj_rot, obj_trans) = self._aug(
@@ -209,6 +219,7 @@ class HO3DDataset:
             joints_3d, sdf_points, bbox_hand, bbox_obj, obj_rot, obj_trans,
             np.int32(HO3D_OBJECTS.index(anno["objName"]))
             if anno.get("objName") in HO3D_OBJECTS else np.int32(-1),
+            hand_part_labels=hand_part_labels,
         )
 
     def __getitem__(self, idx: int, epoch: int = 0) -> Dict[str, np.ndarray]:
@@ -300,7 +311,9 @@ class HO3DDataset:
         n_hand_avail = int(
             np.load(os.path.join(self.fast_data_dir, f"{seq}_{frame}_index.npy"))[0]
         )
-        sdf_points = self._draw_sdf_points(rng, sdf_data, n_hand_avail)
+        sdf_points, hand_part_labels = self._draw_sdf_points(
+            rng, sdf_data, n_hand_avail
+        )
 
         (img, mano_param, K, hand_seg_a, obj_seg_a, p2d, joints_uv, bbox_hand,
          bbox_obj, sdf_points, joints_3d, p3d, obj_rot, obj_trans) = self._aug(
@@ -312,6 +325,7 @@ class HO3DDataset:
             joints_3d, sdf_points, bbox_hand, bbox_obj, obj_rot, obj_trans,
             np.int32(HO3D_OBJECTS.index(meta["objName"]))
             if meta.get("objName") in HO3D_OBJECTS else np.int32(-1),
+            hand_part_labels=hand_part_labels,
         )
 
     def _crop_eval(self, img, K, bbox_hand, p2d):

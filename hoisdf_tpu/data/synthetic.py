@@ -64,6 +64,10 @@ def synthetic_batch(
         "obj_rot": rng.randn(b, 3).astype(np.float32),
         "rel_obj_trans": (rng.randn(b, 3) * 0.05).astype(np.float32),
     }
+    if cfg.classifier_branch:
+        labels = rng.randint(0, cfg.num_class, (b, cfg.num_samp_hand))
+        labels[rng.rand(b, cfg.num_samp_hand) < 0.1] = -1  # clamp-invalidated
+        targets["hand_part_labels"] = labels.astype(np.int32)
     if train:
         batch.update(
             hand_pre_points=(rng.randn(b, cfg.num_samp_hand, 3) * 0.3).astype(

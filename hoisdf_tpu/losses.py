@@ -119,6 +119,26 @@ def mano_shape_loss(
     return {"shape_param_loss": param, "shape_reg_loss": reg}
 
 
+def sdf_part_classifier_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Part-class cross-entropy at supervised SDF points (ClassifierBranch).
+
+    The reference builds the classifier head and a ``sdf_cls_weight``
+    (main/config.py:89,138, sdf_net.py classifier output) but never applies a
+    loss — the dataset's label output is commented out (data/dexycb.py:642).
+    This completes the switch: softmax CE over ``num_class`` parts, masking
+    clamp-invalidated labels (-1, the unpack convention at
+    common/utils/sdf_utils.py:87-91).
+
+    logits: [B, P, C]; labels: [B, P] int, -1 = ignore.
+    """
+    valid = labels >= 0
+    safe = jnp.maximum(labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    denom = jnp.maximum(valid.sum(), 1)
+    return jnp.where(valid, nll, 0.0).sum() / denom
+
+
 def weighted_total(cfg: Config, losses: Dict[str, jax.Array]) -> jax.Array:
     """Apply the train-loop weighting (main/train.py:115-127) and sum."""
     w = {
@@ -132,6 +152,7 @@ def weighted_total(cfg: Config, losses: Dict[str, jax.Array]) -> jax.Array:
         "loss_joint_3d": cfg.joint_weight,
         "loss_joint_cls": cfg.cls_weight,
         "loss_all_joint_3d": cfg.joint_weight,
+        "sdf_cls_loss": cfg.sdf_cls_weight,
     }
     total = jnp.asarray(0.0)
     for k, v in losses.items():

@@ -281,16 +281,23 @@ class HOISDF(nn.Module):
 
         if supervise_sdf:
             # SDF supervision at the dataset's sampled points (model.py:370-401)
-            hand_sdf_pred, _, _ = self.sdf_forward(
+            hand_sdf_pred, hand_cls_logits, _ = self.sdf_forward(
                 pyramid, batch["hand_sdf_points"], mano_root, cam_intr,
                 c.hand_sdf_scale, "hand", train=train,
             )
-            obj_sdf_pred, _, _ = self.sdf_forward(
+            obj_sdf_pred, obj_cls_logits, _ = self.sdf_forward(
                 pyramid, batch["obj_sdf_points"], obj_center, cam_intr,
                 c.obj_sdf_scale, "obj", train=train,
             )
             out["hand_sdf_pred"] = hand_sdf_pred
             out["obj_sdf_pred"] = obj_sdf_pred
+            if hand_cls_logits is not None:
+                # ClassifierBranch (main/model.py:236-239): part-class logits
+                # at the supervised hand points.  (The sampler's selected-point
+                # cls output is captured-then-discarded in the reference,
+                # main/model.py:464 — not propagated here.)
+                out["hand_cls_logits"] = hand_cls_logits.astype(jnp.float32)
+                out["obj_cls_logits"] = obj_cls_logits.astype(jnp.float32)
 
         # ---- token point acquisition (model.py:424-481) ----
         if use_presampled:

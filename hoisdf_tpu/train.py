@@ -31,6 +31,7 @@ from hoisdf_tpu.losses import (
     joint_vote_loss,
     mano_loss,
     mano_shape_loss,
+    sdf_part_classifier_loss,
     sep_sdf_loss,
     smooth_l1,
     weighted_total,
@@ -157,6 +158,10 @@ def compute_losses(
         losses["joint_heatmap"] = joint_heatmap_loss(heads[..., 0], gt_hm)
         losses["hand_seg"] = jnp.mean(bce(heads[..., 1], targets["hand_seg"]))
         losses["obj_seg"] = jnp.mean(bce(heads[..., 2], targets["obj_seg"]))
+        if cfg.classifier_branch and "hand_cls_logits" in out:
+            losses["sdf_cls_loss"] = sdf_part_classifier_loss(
+                out["hand_cls_logits"], targets["hand_part_labels"]
+            )
 
     joints_gt = targets["joint_cam_no_trans"][:, 1:]  # mm, root excluded
     (

@@ -42,6 +42,65 @@ def test_ik_variant_forward_and_shape_loss():
     assert np.isfinite(float(losses["shape_reg_loss"]))
 
 
+def test_classifier_branch_forward_and_loss():
+    """ClassifierBranch (main/model.py:236-352, sdf_cls_weight
+    main/config.py:138): part-class logits are surfaced from the supervised
+    field queries and the CE loss term is applied and differentiable."""
+    from hoisdf_tpu.losses import sdf_part_classifier_loss, weighted_total
+    from hoisdf_tpu.train import compute_losses
+    from hoisdf_tpu.mano.layer import ManoBuffers
+    from hoisdf_tpu.mano.model import make_synthetic_mano
+    from hoisdf_tpu.data.synthetic import synthetic_batch, split_inputs_targets
+
+    cfg = get_config(
+        "dexycb", classifier_branch=True,
+        resnet_type=18, hidden_dim=64, dim_feedforward=128, enc_layers=2,
+        dec_layers=2, num_samp_hand=32, num_samp_obj=16,
+        input_img_shape=(64, 64), output_hm_shape=(32, 32, 32), bins_n=16,
+        sdf_infer_chunk=2048,
+    )
+    model = build_model(cfg)
+    batch_np = synthetic_batch(cfg, batch_size=2, train=True)
+    inputs, targets = split_inputs_targets(batch_np)
+    inputs = {k: jnp.asarray(v) for k, v in inputs.items()}
+    targets = {k: jnp.asarray(v) for k, v in targets.items()}
+    assert "hand_part_labels" in targets
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample_noise": jax.random.PRNGKey(1)},
+        inputs, use_presampled=True, dist_range=0.03,
+    )
+    out = model.apply(
+        variables, inputs, use_presampled=True, dist_range=0.03,
+        rngs={"sample_noise": jax.random.PRNGKey(2)},
+    )
+    assert out["hand_cls_logits"].shape == (2, cfg.num_samp_hand, cfg.num_class)
+    assert out["obj_cls_logits"].shape == (2, cfg.num_samp_obj, cfg.num_class)
+
+    mano = ManoBuffers.from_model(make_synthetic_mano(0))
+    losses, _ = compute_losses(cfg, out, targets, mano)
+    assert "sdf_cls_loss" in losses
+    assert np.isfinite(float(losses["sdf_cls_loss"]))
+    # weight applied (sdf_cls_weight=10, main/config.py:138)
+    base = weighted_total(cfg, {k: v for k, v in losses.items()
+                                if k != "sdf_cls_loss"})
+    tot = weighted_total(cfg, losses)
+    np.testing.assert_allclose(
+        float(tot - base), float(losses["sdf_cls_loss"]) * cfg.sdf_cls_weight,
+        rtol=1e-5,
+    )
+
+    # ignore-label masking: all -1 labels -> zero loss; grads flow otherwise
+    zero = sdf_part_classifier_loss(
+        out["hand_cls_logits"], -jnp.ones((2, cfg.num_samp_hand), jnp.int32)
+    )
+    assert float(zero) == 0.0
+    g = jax.grad(
+        lambda lg: sdf_part_classifier_loss(lg, targets["hand_part_labels"])
+    )(out["hand_cls_logits"])
+    assert np.isfinite(np.asarray(g)).all() and float(jnp.abs(g).sum()) > 0
+
+
 def test_big_decoder_variant_forward():
     cfg = get_config(
         "ho3d",
