@@ -84,6 +84,8 @@ class Config:
     mano_shape_indx: int = 16
 
     # ---- optimization (main/config.py:128-134) --------------------------------
+    # from-scratch init parity (main/model.py:668-679, applied :744-750)
+    reference_init: bool = True
     end_epoch: int = 70
     point_sampling_epoch: int = 40
     lr: float = 1e-4

@@ -116,6 +116,12 @@ def create_train_state(
         sample_batch, use_presampled=True, dist_range=0.03, train=False,
     )
     params = variables["params"]
+    if cfg.reference_init:
+        # train-mode init parity (main/model.py:744-750); checkpoint
+        # restoration/conversion overwrites this, so converter parity holds
+        from hoisdf_tpu.models.initializers import apply_reference_init
+
+        params = apply_reference_init(params, jax.random.fold_in(rng, 3))
     batch_stats = variables.get("batch_stats", {})
     tx = make_optimizer(cfg, params, steps_per_epoch)
     return TrainState(

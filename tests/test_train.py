@@ -44,6 +44,47 @@ def setup():
     return cfg, model, mano, state, inputs, targets
 
 
+def test_reference_init_distributions(setup):
+    """init_weights parity (main/model.py:668-679, applied :744-750):
+    decoder convs normal(0.001), transformer/SDF linears normal(0.01),
+    biases 0; weight-normed (g,v), attention in_proj, norms, backbone and
+    core-model heads untouched."""
+    cfg, model, mano, state, inputs, targets = setup
+    from hoisdf_tpu.models.initializers import apply_reference_init
+
+    raw = model.init(
+        {"params": jax.random.PRNGKey(0),
+         "sample_noise": jax.random.PRNGKey(1),
+         "dropout": jax.random.PRNGKey(2)},
+        inputs, use_presampled=True, dist_range=0.03, train=False,
+    )["params"]
+    p = apply_reference_init(raw, jax.random.PRNGKey(3))
+
+    def std(x):
+        return float(jnp.std(jnp.asarray(x)))
+
+    assert abs(std(p["decoder_net"]["conv1"]["conv"]["kernel"]) - 0.001) < 3e-4
+    assert abs(std(p["decoder_net"]["deconv1"]["deconv"]["kernel"]) - 0.001) < 3e-4
+    assert float(jnp.abs(p["decoder_net"]["conv1"]["conv"]["bias"]).max()) == 0
+    enc0 = p["hand_transformer"]["encoder"]["layer0"]
+    assert abs(std(enc0["linear1"]["kernel"]) - 0.01) < 3e-3
+    assert float(jnp.abs(enc0["linear1"]["bias"]).max()) == 0
+    assert abs(std(enc0["self_attn"]["out_proj"]["kernel"]) - 0.01) < 3e-3
+    assert abs(std(p["hand_sdf_decoder"]["linh4"]["kernel"]) - 0.01) < 3e-3
+    # untouched leaves keep their construction-time values
+    for a, b in (
+        (p["hand_sdf_decoder"]["linh0"]["v"], raw["hand_sdf_decoder"]["linh0"]["v"]),
+        (enc0["self_attn"]["in_proj_weight"],
+         raw["hand_transformer"]["encoder"]["layer0"]["self_attn"]["in_proj_weight"]),
+        (p["backbone"]["conv1"]["kernel"], raw["backbone"]["conv1"]["kernel"]),
+        (p["linear_pose"]["layers_0"]["kernel"],
+         raw["linear_pose"]["layers_0"]["kernel"]),
+        (enc0["norm1"]["scale"],
+         raw["hand_transformer"]["encoder"]["layer0"]["norm1"]["scale"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_train_step_decreases_loss(setup):
     cfg, model, mano, state, inputs, targets = setup
     step = make_train_step(cfg, model, mano)
