@@ -76,3 +76,79 @@ def test_matmul_gather_exactly_matches_gather():
     a = grid_sample_bilinear(feat, grid)
     b = grid_sample_bilinear_matmul(feat, grid)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_fast_gather_forward_and_feat_grad_match_reference():
+    """grid_sample_bilinear_fast: slice-gather forward and hand-written
+    scatter-add backward must match the 4-corner formulation (incl. border
+    clamping) exactly."""
+    import jax
+
+    from hoisdf_tpu.ops.grid_sample import grid_sample_bilinear_fast
+
+    rng = np.random.RandomState(11)
+    feat = jnp.asarray(rng.randn(3, 8, 10, 7).astype(np.float32))
+    # Cover interior, border, and out-of-range (clamped) points.
+    grid = jnp.asarray(rng.rand(3, 33, 2).astype(np.float32) * 2.6 - 1.3)
+    cot = jnp.asarray(rng.randn(3, 33, 7).astype(np.float32))
+
+    np.testing.assert_allclose(
+        np.asarray(grid_sample_bilinear_fast(feat, grid)),
+        np.asarray(grid_sample_bilinear(feat, grid)),
+        atol=1e-6,
+    )
+
+    loss_fast = lambda f: jnp.sum(grid_sample_bilinear_fast(f, grid) * cot)
+    loss_ref = lambda f: jnp.sum(grid_sample_bilinear(f, grid) * cot)
+    df_fast = jax.grad(loss_fast)(feat)
+    df_ref = jax.grad(loss_ref)(feat)
+    np.testing.assert_allclose(np.asarray(df_fast), np.asarray(df_ref), atol=1e-5)
+
+
+def test_fast_gather_grid_grad_is_zero_by_contract():
+    """Grid cotangents are intentionally zero (call sites stop_gradient the
+    grid; reference detaches it at main/model.py:166)."""
+    import jax
+
+    from hoisdf_tpu.ops.grid_sample import grid_sample_bilinear_fast
+
+    rng = np.random.RandomState(12)
+    feat = jnp.asarray(rng.randn(1, 6, 6, 4).astype(np.float32))
+    grid = jnp.asarray(rng.rand(1, 9, 2).astype(np.float32) * 1.6 - 0.8)
+    dg = jax.grad(lambda g: jnp.sum(grid_sample_bilinear_fast(feat, g)))(grid)
+    np.testing.assert_array_equal(np.asarray(dg), 0.0)
+
+
+def test_multiscale_gather_grad_path_matches_four_corner():
+    """The default (grad-path) multiscale gather must stay bit-compatible with
+    the plain 4-corner route for values and feature gradients."""
+    import jax
+
+    rng = np.random.RandomState(13)
+    pyr = {
+        "big": jnp.asarray(rng.randn(2, 32, 32, 6).astype(np.float32)),
+        "small": jnp.asarray(rng.randn(2, 8, 8, 3).astype(np.float32)),
+    }
+    grid = jnp.asarray(rng.rand(2, 25, 2).astype(np.float32) * 2.4 - 1.2)
+
+    out = multiscale_point_features(pyr, grid, ["big", "small"])
+    ref = jnp.concatenate(
+        [grid_sample_bilinear(pyr["big"], grid), grid_sample_bilinear(pyr["small"], grid)],
+        axis=-1,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    loss = lambda p: jnp.sum(multiscale_point_features(p, grid, ["big", "small"]) ** 2)
+    loss_ref = lambda p: jnp.sum(
+        jnp.concatenate(
+            [grid_sample_bilinear(p["big"], grid), grid_sample_bilinear(p["small"], grid)],
+            axis=-1,
+        )
+        ** 2
+    )
+    g_fast = jax.grad(loss)(pyr)
+    g_ref = jax.grad(loss_ref)(pyr)
+    for k in pyr:
+        np.testing.assert_allclose(
+            np.asarray(g_fast[k]), np.asarray(g_ref[k]), atol=1e-4
+        )
