@@ -119,8 +119,10 @@ def main() -> None:
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument(
-        "--sdf-infer-mode", default="coarse2fine", choices=["full", "coarse2fine"],
-        help="field-guided sampling strategy (coarse2fine ~7x fewer SDF evals)",
+        "--sdf-infer-mode", default="coarse2fine",
+        choices=["full", "coarse2fine", "hier"],
+        help="field-guided sampling strategy (coarse2fine ~7x fewer SDF evals "
+             "than full; hier 2.25x fewer again)",
     )
     parser.add_argument(
         "--dtype", default="bfloat16", choices=["float32", "bfloat16"],

@@ -116,10 +116,14 @@ class Config:
     compute_dtype: str = "float32"  # "bfloat16" for the TPU hot path
     # "full"  = exact masked 64^3 lattice scan  (parity w/ main/model.py:246-355)
     # "coarse2fine" = 16^3 coarse pass + top-cell refinement (faster, ~same pts)
+    # "hier"  = multi-level cell-subdivision cascade (hier_levels; 2.25x fewer
+    #           SDF evals than coarse2fine at the defaults)
     sdf_infer_mode: str = "full"
     sdf_infer_chunk: int = 32768  # lattice points per scan step in "full" mode
     coarse_bins: int = 16
     coarse_keep_cells: int = 512
+    # (cell_factor, keep) cascade for sdf_infer_mode="hier".
+    hier_levels: tuple = ((4, 512), (2, 1024))
     # Fused Pallas SDF-MLP kernel inside sdf_infer (TPU only; the training
     # path keeps the flax module for grads + dropout).
     fused_sdf_infer: bool = True

@@ -47,6 +47,7 @@ from hoisdf_tpu.ops.pallas.sdf_mlp import fold_weight_norm, sdf_mlp_fused
 from hoisdf_tpu.ops.point_sampling import (
     sdf_guided_sample,
     sdf_guided_sample_coarse2fine,
+    sdf_guided_sample_hierarchical,
 )
 
 
@@ -242,6 +243,12 @@ class HOISDF(nn.Module):
                 sdf_scale=sdf_scale, num_points=num_points, bins_n=c.bins_n,
                 coarse_factor=c.bins_n // c.coarse_bins,
                 keep_cells=c.coarse_keep_cells, clamp=c.clamping_distance,
+            )
+        elif c.sdf_infer_mode == "hier":
+            points, sdf = sdf_guided_sample_hierarchical(
+                sdf_fn, center, cam_intr, bbox,
+                sdf_scale=sdf_scale, num_points=num_points, bins_n=c.bins_n,
+                levels=c.hier_levels, clamp=c.clamping_distance,
             )
         else:
             points, sdf = sdf_guided_sample(

@@ -112,6 +112,98 @@ def sdf_guided_sample(
     return points, sdf
 
 
+def sdf_guided_sample_hierarchical(
+    sdf_fn: Callable[[jax.Array], jax.Array],
+    center: jax.Array,
+    cam_intr: jax.Array,
+    bbox: jax.Array,
+    *,
+    sdf_scale: float,
+    num_points: int,
+    bins_n: int = 64,
+    levels: Tuple[Tuple[int, int], ...] = ((4, 512), (2, 1024)),
+    clamp: float = 0.15,
+) -> Tuple[jax.Array, jax.Array]:
+    """Multi-level surface-point selection (VERDICT.md round-1 item #6).
+
+    Generalizes ``sdf_guided_sample_coarse2fine`` to a cell-subdivision
+    cascade: ``levels`` is a sequence of ``(cell_factor, keep)`` pairs with
+    strictly decreasing factors, each dividing the previous.  Level i probes
+    the centers of the active cells' sub-cells of edge ``cell_factor`` and
+    keeps the ``keep`` nearest-surface ones; the final stage evaluates every
+    fine lattice point of the surviving cells and top-Ks by |sdf|.
+
+    Default ((4, 512), (2, 1024)) on a 64^3 lattice: 16^3 coarse probes +
+    512*8 sub-cell probes + 1024*8 fine evals = 16.4k SDF evaluations vs
+    36.9k for the two-stage coarse2fine — 2.25x fewer where ~all eval time
+    goes.  Selection quality holds because the SDF is 1-Lipschitz: a cell
+    containing surface has center |sdf| <= half the cell diagonal, so
+    generous keeps prune conservatively.  Selected points lie on the same
+    64^3 lattice as the reference's dense pass (main/model.py:260-273).
+    """
+    b = center.shape[0]
+    step = 2.0 / (bins_n - 1)
+    factors = [f for f, _ in levels]
+    assert all(
+        factors[i] % factors[i + 1] == 0 and factors[i] > factors[i + 1]
+        for i in range(len(factors) - 1)
+    ), factors
+    assert bins_n % factors[0] == 0, (bins_n, factors)
+
+    def cell_coords(base_idx, factor):
+        """Fine-lattice flat index of a cell origin -> probe point (the
+        center of the factor^3 block; the exact lattice point at factor 1)."""
+        ci = base_idx // (bins_n * bins_n)
+        cj = (base_idx // bins_n) % bins_n
+        ck = base_idx % bins_n
+        origin = jnp.stack([ci, cj, ck], axis=-1).astype(jnp.float32) * step - 1.0
+        return origin + (factor - 1) * 0.5 * step
+
+    def child_bases(bases, parent_factor, child_factor):
+        """Subdivide each cell of edge parent_factor into (p/c)^3 children."""
+        s = parent_factor // child_factor
+        offs = (
+            np.arange(s)[:, None, None] * child_factor * bins_n * bins_n
+            + np.arange(s)[None, :, None] * child_factor * bins_n
+            + np.arange(s)[None, None, :] * child_factor
+        ).reshape(-1)
+        out = bases[..., None] + jnp.asarray(offs, bases.dtype)[None, None]
+        return out.reshape(b, -1)
+
+    def probe(bases, factor, keep):
+        pts = cell_coords(bases, factor)  # [B, M, 3]
+        sdf = sdf_fn(pts)  # [B, M]
+        in_box = _in_bbox(pts, center, cam_intr, bbox, sdf_scale)
+        score = jnp.where(in_box, jnp.abs(sdf), jnp.inf)
+        _, sel = jax.lax.top_k(-score, keep)
+        return jnp.take_along_axis(bases, sel, axis=1), pts, sdf, score, sel
+
+    # Level 0: all cells of edge factors[0].
+    f0 = factors[0]
+    cb = bins_n // f0
+    r = np.arange(cb) * f0
+    base0 = (
+        r[:, None, None] * bins_n * bins_n
+        + r[None, :, None] * bins_n
+        + r[None, None, :]
+    ).reshape(-1)
+    bases = jnp.broadcast_to(
+        jnp.asarray(base0, jnp.int32)[None], (b, base0.size)
+    )
+    bases, _, _, _, _ = probe(bases, f0, levels[0][1])
+
+    for (pf, _), (cf, keep) in zip(levels[:-1], levels[1:]):
+        bases = child_bases(bases, pf, cf)
+        bases, _, _, _, _ = probe(bases, cf, keep)
+
+    # Final stage: every fine lattice point of the surviving cells.
+    bases = child_bases(bases, factors[-1], 1)
+    _, pts, sdf, score, sel = probe(bases, 1, num_points)
+    points = jnp.take_along_axis(pts, sel[..., None], axis=1)
+    sdf = jnp.take_along_axis(sdf, sel, axis=1)
+    return points, jnp.clip(sdf, -clamp, clamp)[..., None]
+
+
 def _in_bbox(pts_scaled, center, cam_intr, bbox, sdf_scale):
     """Project scaled-frame points and test against the 2D pixel bbox."""
     cam_pts = pts_scaled / sdf_scale + center[:, None, :]

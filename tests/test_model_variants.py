@@ -122,3 +122,25 @@ def test_big_decoder_variant_forward():
     )
     assert out["mano_pose6d"].shape == (2, 1, 16, 6)
     assert np.isfinite(np.asarray(out["mano_pose6d"])).all()
+
+
+def test_hier_sampler_variant_forward():
+    """sdf_infer_mode='hier' drives the multi-level cascade end-to-end and
+    selects near-surface lattice points like the other modes."""
+    import jax
+    import numpy as np
+
+    from test_model import tiny_config
+
+    cfg = tiny_config(sdf_infer_mode="hier", hier_levels=((4, 16), (2, 48)))
+    model = build_model(cfg)
+    batch = tiny_batch(cfg, b=2, train=True)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample_noise": jax.random.PRNGKey(1)},
+        batch, use_presampled=True, dist_range=0.03,
+    )
+    out = model.apply(variables, batch, use_presampled=False)
+    assert out["hand_points"].shape == (2, cfg.num_samp_hand, 3)
+    pts = np.asarray(out["hand_points"])
+    assert (np.abs(pts) <= 1.0 + 1e-6).all()
+    assert np.isfinite(np.asarray(out["hand_sdf"])).all()

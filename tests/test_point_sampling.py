@@ -117,3 +117,58 @@ def test_fewer_in_bbox_points_than_k_fills_from_outside():
         bins_n=8, chunk=512,
     )
     assert pts.shape == (2, 64, 3)
+
+
+def test_hierarchical_matches_full_on_smooth_field():
+    from hoisdf_tpu.ops.point_sampling import sdf_guided_sample_hierarchical
+
+    center, cam, bbox = _setup()
+    k = 64
+    pts_full, sdf_full = sdf_guided_sample(
+        sphere_sdf, center, cam, bbox, sdf_scale=3.1, num_points=k,
+        bins_n=16, chunk=4096,
+    )
+    pts_h, sdf_h = sdf_guided_sample_hierarchical(
+        sphere_sdf, center, cam, bbox, sdf_scale=3.1, num_points=k,
+        bins_n=16, levels=((4, 24), (2, 72)),
+    )
+    full_set = {tuple(np.round(p, 5)) for p in np.asarray(pts_full[0])}
+    h_set = {tuple(np.round(p, 5)) for p in np.asarray(pts_h[0])}
+    overlap = len(full_set & h_set) / k
+    assert overlap > 0.9, overlap
+    np.testing.assert_allclose(
+        np.sort(np.abs(np.asarray(sdf_full[0, :, 0]))),
+        np.sort(np.abs(np.asarray(sdf_h[0, :, 0]))),
+        atol=1e-3,
+    )
+
+
+def test_hierarchical_probe_points_lie_on_fine_lattice():
+    from hoisdf_tpu.ops.point_sampling import sdf_guided_sample_hierarchical
+
+    center, cam, bbox = _setup()
+    pts, sdf = sdf_guided_sample_hierarchical(
+        sphere_sdf, center, cam, bbox, sdf_scale=3.1, num_points=32,
+        bins_n=16, levels=((4, 16), (2, 48)),
+    )
+    assert pts.shape == (2, 32, 3)
+    # every returned point must be a fine lattice point
+    step = 2.0 / 15
+    frac = (np.asarray(pts) + 1.0) / step
+    np.testing.assert_allclose(frac, np.round(frac), atol=1e-4)
+    # returned sdf is the clamped field value at the point
+    want = np.clip(np.asarray(sphere_sdf(pts)), -0.15, 0.15)
+    np.testing.assert_allclose(np.asarray(sdf[..., 0]), want, atol=1e-5)
+
+
+def test_hierarchical_degenerate_bbox_static_shapes():
+    from hoisdf_tpu.ops.point_sampling import sdf_guided_sample_hierarchical
+
+    center, cam, _ = _setup()
+    bbox = jnp.asarray(np.array([[500.0, 500.0, 501.0, 501.0]] * 2, np.float32))
+    pts, sdf = sdf_guided_sample_hierarchical(
+        sphere_sdf, center, cam, bbox, sdf_scale=3.1, num_points=16,
+        bins_n=8, levels=((2, 16),),
+    )
+    assert pts.shape == (2, 16, 3)
+    assert np.isfinite(np.asarray(sdf)).all()
