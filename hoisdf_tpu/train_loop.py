@@ -95,7 +95,24 @@ def parse_args():
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--iters-per-epoch", type=int, default=None)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument(
+        "--cfg", action="append", default=[], metavar="KEY=VALUE",
+        help="config field override (repeatable); VALUE is parsed as JSON "
+             "with a plain-string fallback, e.g. --cfg annotation_dir=/data "
+             "--cfg train_batch_size=8",
+    )
     return p.parse_args()
+
+
+def parse_cfg_overrides(pairs):
+    out = {}
+    for item in pairs:
+        key, _, raw = item.partition("=")
+        try:
+            out[key] = json.loads(raw)
+        except json.JSONDecodeError:
+            out[key] = raw
+    return out
 
 
 def main():
@@ -119,6 +136,7 @@ def main():
             input_img_shape=(64, 64), output_hm_shape=(32, 32, 32), bins_n=16,
             sdf_infer_chunk=2048, use_big_decoder=False,
         )
+    overrides.update(parse_cfg_overrides(args.cfg))
     cfg = get_config(args.setting, **overrides)
 
     out_root = os.path.join(cfg.output_dir, args.run_dir_name)
@@ -272,25 +290,26 @@ def main():
                         mesh_file="textured_simple_2000.obj",
                     ) if cfg.simple_object_models_dir else ({}, {}, {})
                     ev = Evaluator(cfg, mano)
-                    for eb in eval_loader:
+                    for eval_itr, eb in enumerate(eval_loader):
                         e_in, e_tg = split_inputs_targets(eb)
                         preds = eval_step(
                             state.params, state.batch_stats,
                             {k: jnp.asarray(v) for k, v in e_in.items()
                              if k != "obj_cls"},
                         )
+                        if eval_itr == 0:
+                            # Debug-image grids during REAL training, matching
+                            # the reference's TensorBoard dumps
+                            # (main/train.py:302-440).
+                            dump_debug_images(
+                                os.path.join(out_root, "debug_images"),
+                                int(state.step), preds, e_tg,
+                            )
                         if meshes:
                             templates = jnp.asarray(np.stack(
                                 [meshes[int(c)] for c in e_in["obj_cls"]]
                             ))
                             ev.feed(preds, e_tg, e_in, templates)
-                    if ev.total:
-                        logger.info(
-                            "eval: " + " ".join(
-                                f"{k}={v / ev.total:.3f}"
-                                for k, v in ev.results.items()
-                            )
-                        )
                     writer.add_scalars(
                         int(state.step),
                         {k: v / max(ev.total, 1) for k, v in ev.results.items()},

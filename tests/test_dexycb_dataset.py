@@ -146,3 +146,45 @@ def test_loader_over_real_dataset(fixture_dirs):
     batch = next(iter(dl))
     assert batch["img"].shape == (3, 64, 64, 3)
     assert batch["target_mano_param"].shape == (3, 58)
+
+
+def test_train_loop_real_path_end_to_end(fixture_dirs, tmp_path, monkeypatch):
+    """Drives hoisdf_tpu.train_loop.main() on the on-disk fixture via the
+    REAL-data branch: train step, snapshot, eval-during-training, and the
+    debug-image grids the reference dumps to TensorBoard during real
+    training (main/train.py:302-440)."""
+    import sys
+
+    from hoisdf_tpu import train_loop
+
+    ann, img, sdf, models = fixture_dirs
+    argv = [
+        "train_loop", "--setting", "dexycb", "--run_dir_name", "realrun",
+        "--end_epoch", "1", "--cpu",
+        "--cfg", f"annotation_dir={ann}",
+        "--cfg", f"image_fast_path={img}",
+        "--cfg", f"fast_data_dir={sdf}",
+        "--cfg", f"object_models_dir={models}",
+        "--cfg", f"output_dir={tmp_path}",
+        "--cfg", "num_samp_hand=16", "--cfg", "num_samp_obj=8",
+        "--cfg", 'input_img_shape=[64, 64]',
+        "--cfg", 'output_hm_shape=[32, 32, 32]',
+        "--cfg", "resnet_type=18", "--cfg", "hidden_dim=64",
+        "--cfg", "dim_feedforward=128", "--cfg", "enc_layers=2",
+        "--cfg", "dec_layers=2", "--cfg", "bins_n=8",
+        "--cfg", "sdf_infer_chunk=512", "--cfg", "train_batch_size=3",
+        "--cfg", "eval_batch_size=3", "--cfg", "num_data_workers=2",
+        "--cfg", "points_filter_dist=1.0", "--cfg", "small_dexycb=false",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    train_loop.main()
+
+    run_dir = os.path.join(str(tmp_path), "realrun")
+    pngs = [
+        f for f in os.listdir(os.path.join(run_dir, "debug_images"))
+        if f.endswith(".png")
+    ]
+    assert pngs, "real-path eval must dump debug-image grids"
+    assert os.path.exists(os.path.join(run_dir, "tensorboard", "metrics.jsonl"))
+    snaps = os.listdir(os.path.join(run_dir, "model_dump"))
+    assert snaps
