@@ -34,6 +34,11 @@ def main():
         "--train", action="store_true",
         help="also time the full training step (both branches; slow compile)",
     )
+    parser.add_argument(
+        "--sdf-infer-mode", default="coarse2fine",
+        choices=["full", "coarse2fine", "hier"],
+        help="field sampler for the --train field branch",
+    )
     args = parser.parse_args()
 
     import jax
@@ -100,7 +105,7 @@ def main():
 
         cfg = get_config(
             "dexycb", compute_dtype="float32" if args.cpu else "bfloat16",
-            sdf_infer_mode="coarse2fine",
+            sdf_infer_mode=args.sdf_infer_mode,
             **({"resnet_type": 18, "hidden_dim": 64, "dim_feedforward": 128,
                 "enc_layers": 2, "dec_layers": 2, "num_samp_hand": 32,
                 "num_samp_obj": 16, "input_img_shape": (64, 64),

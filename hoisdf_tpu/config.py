@@ -167,3 +167,18 @@ def get_config(setting: str = "dexycb", **overrides) -> Config:
         base.update(small_dexycb=("full" not in setting))
     base.update(overrides)
     return Config(**base)
+
+
+def parse_cfg_overrides(pairs) -> dict:
+    """Parse repeatable CLI ``--cfg KEY=VALUE`` items; VALUE is JSON with a
+    plain-string fallback (so paths need no quoting)."""
+    import json
+
+    out = {}
+    for item in pairs:
+        key, _, raw = item.partition("=")
+        try:
+            out[key] = json.loads(raw)
+        except json.JSONDecodeError:
+            out[key] = raw
+    return out

@@ -216,6 +216,16 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--setting", default="dexycb")
     p.add_argument("--ckpt", default=None, help="snapshot dir to restore")
+    p.add_argument(
+        "--torch-ckpt", default=None,
+        help="reference snapshot_*.pth.tar (or an .npz state dict) to convert "
+             "and evaluate directly (main/test.py --ckpt_path equivalent)",
+    )
+    p.add_argument("--mano", default=None, help="MANO .npz path override")
+    p.add_argument(
+        "--cfg", action="append", default=[], metavar="KEY=VALUE",
+        help="config field override (repeatable, JSON-parsed values)",
+    )
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--batches", type=int, default=2)
     p.add_argument("--batch-size", type=int, default=4)
@@ -226,6 +236,8 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    from hoisdf_tpu.config import parse_cfg_overrides
+
     overrides = {}
     if args.synthetic:
         overrides = dict(
@@ -234,6 +246,9 @@ def main():
             input_img_shape=(64, 64), output_hm_shape=(32, 32, 32), bins_n=16,
             sdf_infer_chunk=2048, use_big_decoder=False,
         )
+    overrides.update(parse_cfg_overrides(args.cfg))
+    if args.mano:
+        overrides["mano_model_path"] = args.mano
     cfg = get_config(args.setting, **overrides)
 
     mano_model = (
@@ -251,7 +266,22 @@ def main():
         train=False, supervise_sdf=cfg.dataset == "dexycb",
     )
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
-    if args.ckpt:
+    if args.torch_ckpt:
+        from hoisdf_tpu.tools.convert_torch_ckpt import (
+            convert_state_dict,
+            load_torch_state,
+            verify_tree_match,
+        )
+
+        state = load_torch_state(args.torch_ckpt)
+        cparams, cstats = convert_state_dict(
+            state, big_decoder=cfg.use_big_decoder
+        )
+        verify_tree_match(cparams, params, what="params")
+        verify_tree_match(cstats, batch_stats, what="batch_stats")
+        params = jax.tree_util.tree_map(jnp.asarray, cparams)
+        batch_stats = jax.tree_util.tree_map(jnp.asarray, cstats)
+    elif args.ckpt:
         restored = ckpt_util.restore_snapshot(
             args.ckpt, {"params": params, "batch_stats": batch_stats,
                         "opt_state": None, "step": 0},

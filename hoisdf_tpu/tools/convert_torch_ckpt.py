@@ -275,6 +275,40 @@ def convert_state_dict(
     return params, stats
 
 
+def load_torch_state(path: str) -> Dict[str, np.ndarray]:
+    """Load a reference checkpoint's state dict as numpy arrays.
+
+    Accepts the reference's snapshot_*.pth.tar (torch.save with a 'network'
+    entry, common/base.py:113-118) or a plain .npz of state-dict keys (the
+    torch-free stand-in format from tools/make_standin_ckpt.py).
+    """
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+    import torch
+
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+    state = raw.get("network", raw) if isinstance(raw, dict) else raw
+    return {k: v.numpy() for k, v in state.items() if hasattr(v, "numpy")}
+
+
+def verify_tree_match(converted: Dict, expected: Dict, *, what: str) -> None:
+    """Raise with the exact path diff if a converted tree does not line up
+    with the model's initialized structure (catches setting mismatches like
+    evaluating a big-decoder checkpoint under the small-decoder preset)."""
+    import jax.tree_util as jtu
+
+    got = {jtu.keystr(p) for p, _ in jtu.tree_flatten_with_path(converted)[0]}
+    want = {jtu.keystr(p) for p, _ in jtu.tree_flatten_with_path(expected)[0]}
+    if got != want:
+        missing = sorted(want - got)[:10]
+        extra = sorted(got - want)[:10]
+        raise ValueError(
+            f"converted {what} do not match the model structure; "
+            f"missing={missing} extra={extra}"
+        )
+
+
 def convert_torchvision_resnet(state: Dict[str, Any]) -> Tuple[Dict, Dict]:
     """torchvision ImageNet ResNet state dict -> backbone params/batch_stats
     (reference init path, common/nets/resnet.py:89-98; fc.* dropped)."""

@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hoisdf_tpu.config import get_config
+from hoisdf_tpu.config import get_config, parse_cfg_overrides
 from hoisdf_tpu.data.loader import DataLoader
 from hoisdf_tpu.data.synthetic import split_inputs_targets, synthetic_batch
 from hoisdf_tpu.evaluate import Evaluator
@@ -102,17 +102,6 @@ def parse_args():
              "--cfg train_batch_size=8",
     )
     return p.parse_args()
-
-
-def parse_cfg_overrides(pairs):
-    out = {}
-    for item in pairs:
-        key, _, raw = item.partition("=")
-        try:
-            out[key] = json.loads(raw)
-        except json.JSONDecodeError:
-            out[key] = raw
-    return out
 
 
 def main():

@@ -186,3 +186,80 @@ def test_big_decoder_conversion_structure():
         img_feat, skips,
     )
     assert heads.shape == (1, 32, 32, 3)
+
+
+def _tiny_overrides():
+    return dict(
+        resnet_type=18, hidden_dim=64, dim_feedforward=128, enc_layers=2,
+        dec_layers=2, num_samp_hand=32, num_samp_obj=16,
+        input_img_shape=(64, 64), output_hm_shape=(32, 32, 32), bins_n=16,
+        sdf_infer_chunk=2048, use_big_decoder=False,
+    )
+
+
+def test_full_model_standin_roundtrip():
+    """flax_to_torch_state must be the exact inverse of convert_state_dict
+    over EVERY key of the full model (backbone, decoder, SDF decoders,
+    transformers, heads, betas, query embed)."""
+    import jax.tree_util as jtu
+
+    from hoisdf_tpu.config import get_config
+    from hoisdf_tpu.data.synthetic import split_inputs_targets, synthetic_batch
+    from hoisdf_tpu.models.hoisdf import build_model
+    from hoisdf_tpu.tools.make_standin_ckpt import flax_to_torch_state
+
+    cfg = get_config("dexycb", **_tiny_overrides())
+    model = build_model(cfg)
+    batch = synthetic_batch(cfg, 1, train=True)
+    inputs, _ = split_inputs_targets(batch)
+    inputs = {k: jnp.asarray(v) for k, v in inputs.items()}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(3), "sample_noise": jax.random.PRNGKey(4)},
+        inputs, use_presampled=True, dist_range=0.0,
+    )
+    state = flax_to_torch_state(
+        variables["params"], variables["batch_stats"], big_decoder=False
+    )
+    params, stats = convert_state_dict(state, big_decoder=False)
+
+    for want_tree, got_tree in (
+        (variables["params"], params), (variables["batch_stats"], stats)
+    ):
+        want = dict(
+            (jtu.keystr(p), np.asarray(v))
+            for p, v in jtu.tree_flatten_with_path(want_tree)[0]
+        )
+        got = dict(
+            (jtu.keystr(p), np.asarray(v))
+            for p, v in jtu.tree_flatten_with_path(got_tree)[0]
+        )
+        assert set(want) == set(got), set(want) ^ set(got)
+        for k in want:
+            np.testing.assert_array_equal(want[k], got[k], err_msg=k)
+
+
+def test_parity_dryrun_standin_to_results_txt(tmp_path, monkeypatch):
+    """The converted-checkpoint dry run, end to end on a synthetic-weights
+    stand-in: reference-layout .npz -> convert -> eval -> results.txt
+    (VERDICT round-1 item #9; one asset-drop from real parity)."""
+    import sys
+
+    from hoisdf_tpu import evaluate
+    from hoisdf_tpu.config import get_config
+    from hoisdf_tpu.tools.make_standin_ckpt import build_standin_state
+
+    cfg = get_config("dexycb", **_tiny_overrides())
+    state = build_standin_state(cfg, seed=7)
+    ckpt = tmp_path / "standin_snapshot.npz"
+    np.savez(ckpt, **state)
+
+    out = tmp_path / "res"
+    argv = [
+        "evaluate", "--setting", "dexycb", "--synthetic", "--cpu",
+        "--batches", "1", "--batch-size", "2",
+        "--torch-ckpt", str(ckpt), "--out", str(out),
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    evaluate.main()
+    results = (out / "results.txt").read_text()
+    assert "mano_mje" in results and "ADDS_error" in results
