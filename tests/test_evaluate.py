@@ -103,3 +103,22 @@ def test_ho3d_accumulates_submission_lists(tmp_path):
     with open(path) as f:
         data = json.load(f)
     assert len(data) == 2 and len(data[0]) == 2
+
+
+def test_dexycb_full_mesh_metrics_and_results_txt(tmp_path):
+    """dexycb_full (eval_mesh) path: mesh EPE/AUC + F@5/15mm accumulate and
+    land in results.txt (main/test.py:197-259)."""
+    cfg = get_config("dexycb_full")
+    assert cfg.eval_mesh
+    mano = ManoBuffers.from_model(make_synthetic_mano(0))
+    ev = Evaluator(cfg, mano)
+    preds, targets, meta, templates = _perfect_batch(cfg, mano)
+    ev.feed(preds, targets, meta, templates)
+    # perfect mesh predictions: F-scores 1.0, mesh error ~0
+    assert ev.f_scores and all(f == 1.0 for row in ev.f_scores for f in row)
+    path = ev.write_results(str(tmp_path))
+    text = open(path).read()
+    assert "MESH" in text and "F@5.0mm" in text and "auc=" in text
+    # AUC of a ~zero error curve is ~1
+    m, _, auc, _, _ = ev.mesh_err.get_measures(0.0, 0.05, 100)
+    assert auc > 0.99 and m < 1e-4
