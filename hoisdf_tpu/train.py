@@ -214,7 +214,13 @@ def compute_losses(
 def make_train_step(cfg: Config, model: HOISDF, mano_buffers: ManoBuffers):
     """Build the jitted SPMD train step.  ``use_presampled`` is static."""
 
-    @functools.partial(jax.jit, static_argnames=("use_presampled",))
+    # ``state`` is donated: params/opt_state buffers are updated in place on
+    # TPU instead of holding old+new trees live (callers must rebind the
+    # returned state, which every loop here does).  Donation is a no-op on
+    # the CPU test backend.
+    @functools.partial(
+        jax.jit, static_argnames=("use_presampled",), donate_argnames=("state",)
+    )
     def train_step(
         state: TrainState,
         inputs: Dict[str, jax.Array],
