@@ -12,8 +12,15 @@ baseline is self-relative until a PyTorch GPU measurement exists.
 Resilience (round-1 postmortem, VERDICT.md "Weak #2"): params are initialized
 on the host CPU backend (no eager op-by-op TPU traffic, no init-time HBM
 spike), and the timed run retries down a batch-size ladder on
-RESOURCE_EXHAUSTED / transient TPU-tunnel errors, clearing caches between
-attempts, so one flaky allocation can no longer zero out the round's data.
+RESOURCE_EXHAUSTED / transient TPU-tunnel errors, so one flaky allocation can
+no longer zero out the round's data.
+
+Round-2 hardening: after a TPU "kernel fault" (UNAVAILABLE), the in-process
+client is poisoned — every further call fails regardless of batch size (the
+round-2 hier investigation showed a whole ladder burned this way).  Retry
+attempts therefore re-exec this script in a FRESH subprocess
+(``--single-attempt``), with recovery waits, since the device only recovers
+across processes.
 """
 
 from __future__ import annotations
@@ -112,6 +119,38 @@ def _attempt(cfg, model, mano, variables, batch: int, iters: int, warmup: int):
     return fps, p50
 
 
+def _subprocess_attempt(batch: int, passthrough, tries: int = 2, wait: int = 90):
+    """Run one attempt in a FRESH process (fresh TPU client): the only way to
+    continue after an in-process kernel fault.  Returns (fps, p50) or None."""
+    import subprocess
+
+    cmd = [
+        sys.executable, os.path.abspath(__file__), *passthrough,
+        "--single-attempt", str(batch),
+    ]
+    for t in range(tries):
+        if t:
+            _log(f"waiting {wait}s for TPU recovery before retrying")
+            time.sleep(wait)
+        _log(f"fresh-process attempt batch={batch} (try {t + 1}/{tries})")
+        try:
+            proc = subprocess.run(
+                cmd, capture_output=True, text=True, timeout=3600,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+        except subprocess.TimeoutExpired:
+            _log(f"fresh-process attempt batch={batch} timed out")
+            continue
+        sys.stderr.write(proc.stderr[-3000:])
+        for line in proc.stdout.splitlines():
+            if line.startswith("RESULT "):
+                doc = json.loads(line[len("RESULT "):])
+                return doc["fps"], doc["p50"]
+        _log(f"fresh-process attempt batch={batch}: rc={proc.returncode}, "
+             "no RESULT line")
+    return None
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--cpu", action="store_true", help="CPU smoke mode")
@@ -132,6 +171,11 @@ def main() -> None:
                         help="disable the fused Pallas SDF-MLP kernel")
     parser.add_argument("--no-retry", action="store_true",
                         help="fail immediately instead of walking the ladder")
+    parser.add_argument(
+        "--single-attempt", type=int, default=None, metavar="BATCH",
+        help="(internal) run exactly one attempt at BATCH and print "
+             "'RESULT {json}'; used by the parent's fresh-process retries",
+    )
     args = parser.parse_args()
 
     import jax
@@ -166,31 +210,54 @@ def main() -> None:
     variables = _init_params_on_cpu(cfg, model, batch_np_train)
     _log("params initialized on host CPU")
 
+    if args.single_attempt is not None:
+        fps, p50 = _attempt(
+            cfg, model, mano, variables, args.single_attempt, args.iters,
+            args.warmup,
+        )
+        print("RESULT " + json.dumps({"fps": fps, "p50": p50}), flush=True)
+        return
+
     ladder = [args.batch] if (args.cpu or args.no_retry) else sorted(
         {b for b in (args.batch, 16, 11, 8, 4) if b <= args.batch}, reverse=True
     )
+    passthrough = [
+        "--sdf-infer-mode", args.sdf_infer_mode, "--dtype", args.dtype,
+        "--iters", str(args.iters), "--warmup", str(args.warmup),
+    ] + (["--no-fused"] if args.no_fused else [])
 
     fps = p50 = None
     used_batch = None
     last_exc = None
+    in_process_ok = True  # flips after the first fault: client is poisoned
     for batch in ladder:
-        try:
-            fps, p50 = _attempt(
-                cfg, model, mano, variables, batch, args.iters, args.warmup
-            )
-            used_batch = batch
-            break
-        except Exception as exc:  # noqa: BLE001 — transient TPU/tunnel errors
-            last_exc = exc
-            _log(f"attempt batch={batch} FAILED: {type(exc).__name__}: "
-                 f"{str(exc)[:500]}")
-            traceback.print_exc(file=sys.stderr)
-            if batch == ladder[-1]:
+        if in_process_ok:
+            try:
+                fps, p50 = _attempt(
+                    cfg, model, mano, variables, batch, args.iters, args.warmup
+                )
+                used_batch = batch
                 break
-            _log("clearing caches and retrying at a smaller batch")
-            jax.clear_caches()
-            gc.collect()
-            time.sleep(5)
+            except Exception as exc:  # noqa: BLE001 — TPU/tunnel errors
+                last_exc = exc
+                _log(f"attempt batch={batch} FAILED: {type(exc).__name__}: "
+                     f"{str(exc)[:500]}")
+                traceback.print_exc(file=sys.stderr)
+                if batch == ladder[-1]:
+                    break
+                # A faulted client cannot recover in-process; subsequent
+                # attempts go through fresh subprocesses after a recovery wait.
+                in_process_ok = False
+                jax.clear_caches()
+                gc.collect()
+                _log("switching to fresh-process attempts (60s recovery wait)")
+                time.sleep(60)
+        else:
+            res = _subprocess_attempt(batch, passthrough)
+            if res is not None:
+                fps, p50 = res
+                used_batch = batch
+                break
 
     if fps is None:
         _log("all ladder attempts failed")

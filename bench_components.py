@@ -121,9 +121,10 @@ def main():
         state = create_train_state(
             cfg, model, jax.random.PRNGKey(0), t_inputs, 1000
         )
-        step = make_train_step(cfg, model, buffers)
+        step = make_train_step(cfg, model, buffers, donate_state=True)
         for name, use_pre in (("train_presampled", True), ("train_field", False)):
-            s = state
+            # fresh buffer copy per branch: the donated state is consumed
+            s = jax.tree_util.tree_map(jnp.copy, state)
             def one():
                 nonlocal s
                 s, losses = step(s, t_inputs, t_targets, jax.random.PRNGKey(1),

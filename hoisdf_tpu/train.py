@@ -211,15 +211,23 @@ def compute_losses(
     return losses, aux
 
 
-def make_train_step(cfg: Config, model: HOISDF, mano_buffers: ManoBuffers):
-    """Build the jitted SPMD train step.  ``use_presampled`` is static."""
+def make_train_step(
+    cfg: Config, model: HOISDF, mano_buffers: ManoBuffers,
+    donate_state: bool = False,
+):
+    """Build the jitted SPMD train step.  ``use_presampled`` is static.
 
-    # ``state`` is donated: params/opt_state buffers are updated in place on
-    # TPU instead of holding old+new trees live (callers must rebind the
-    # returned state, which every loop here does).  Donation is a no-op on
-    # the CPU test backend.
+    ``donate_state=True`` updates params/opt_state buffers in place instead of
+    holding old+new trees live — roughly a full params+optimizer copy of HBM
+    saved per step.  The caller must then rebind the returned state and never
+    touch the old one (the production loops do; tests that diff old-vs-new
+    state keep the default).
+    """
+
     @functools.partial(
-        jax.jit, static_argnames=("use_presampled",), donate_argnames=("state",)
+        jax.jit,
+        static_argnames=("use_presampled",),
+        donate_argnames=("state",) if donate_state else (),
     )
     def train_step(
         state: TrainState,

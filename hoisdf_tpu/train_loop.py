@@ -199,7 +199,7 @@ def main():
             logger.info(f"resumed from epoch {restored['epoch']}")
 
     mesh = make_mesh()
-    train_step = make_train_step(cfg, model, mano)
+    train_step = make_train_step(cfg, model, mano, donate_state=True)
     eval_step = make_eval_step(cfg, model, mano)
     rng = jax.random.PRNGKey(cfg.seed + 1)
     host_rng = np.random.default_rng(cfg.seed + 2)
