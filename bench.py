@@ -158,10 +158,11 @@ def main() -> None:
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--warmup", type=int, default=2)
     parser.add_argument(
-        "--sdf-infer-mode", default="coarse2fine",
+        "--sdf-infer-mode", default="hier",
         choices=["full", "coarse2fine", "hier"],
         help="field-guided sampling strategy (coarse2fine ~7x fewer SDF evals "
-             "than full; hier 2.25x fewer again)",
+             "than full at 117.5 f/s; hier 2.4x fewer again at 229.1 f/s — "
+             "the production default)",
     )
     parser.add_argument(
         "--dtype", default="bfloat16", choices=["float32", "bfloat16"],

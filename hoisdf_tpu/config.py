@@ -122,8 +122,12 @@ class Config:
     sdf_infer_chunk: int = 32768  # lattice points per scan step in "full" mode
     coarse_bins: int = 16
     coarse_keep_cells: int = 512
-    # (cell_factor, keep) cascade for sdf_infer_mode="hier".
-    hier_levels: tuple = ((4, 512), (2, 1024))
+    # (cell_factor, keep) cascade for sdf_infer_mode="hier".  Capped at
+    # keep=896 for the 2-cells level: (2, 1024) triggers a TPU kernel fault
+    # (UNAVAILABLE) when the cascade is fused with the backbone+decoder graph
+    # at batch 22, while 896 runs clean and measures faster end-to-end
+    # (83.7ms vs 155ms p50 for the fused sampler subgraph).
+    hier_levels: tuple = ((4, 512), (2, 896))
     # Fused Pallas SDF-MLP kernel inside sdf_infer (TPU only; the training
     # path keeps the flax module for grads + dropout).
     fused_sdf_infer: bool = True
