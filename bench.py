@@ -168,6 +168,11 @@ def main() -> None:
         "--dtype", default="bfloat16", choices=["float32", "bfloat16"],
         help="activation compute dtype for the conv/attention/SDF hot path",
     )
+    parser.add_argument(
+        "--hier-levels", default=None, metavar="JSON",
+        help='override cfg.hier_levels for --sdf-infer-mode hier, e.g. '
+             '"[[4,512],[2,896]]"',
+    )
     parser.add_argument("--no-fused", action="store_true",
                         help="disable the fused Pallas SDF-MLP kernel")
     parser.add_argument("--no-retry", action="store_true",
@@ -199,9 +204,15 @@ def main() -> None:
         )
         args.batch = min(args.batch, 4)
     else:
+        extra = {}
+        if args.hier_levels:
+            extra["hier_levels"] = tuple(
+                tuple(l) for l in json.loads(args.hier_levels)
+            )
         cfg = get_config(
             "dexycb", sdf_infer_mode=args.sdf_infer_mode,
             compute_dtype=args.dtype, fused_sdf_infer=not args.no_fused,
+            **extra,
         )
 
     model = build_model(cfg)
@@ -225,7 +236,9 @@ def main() -> None:
     passthrough = [
         "--sdf-infer-mode", args.sdf_infer_mode, "--dtype", args.dtype,
         "--iters", str(args.iters), "--warmup", str(args.warmup),
-    ] + (["--no-fused"] if args.no_fused else [])
+    ] + (["--no-fused"] if args.no_fused else []) + (
+        ["--hier-levels", args.hier_levels] if args.hier_levels else []
+    )
 
     fps = p50 = None
     used_batch = None

@@ -35,9 +35,10 @@ def main():
         help="also time the full training step (both branches; slow compile)",
     )
     parser.add_argument(
-        "--sdf-infer-mode", default="coarse2fine",
+        "--sdf-infer-mode", default="hier",
         choices=["full", "coarse2fine", "hier"],
-        help="field sampler for the --train field branch",
+        help="field sampler for the --train field branch (hier is the "
+             "production default, see bench.py)",
     )
     args = parser.parse_args()
 

@@ -134,6 +134,10 @@ class Config:
     # Nearest-texel feature gather for the dense *selection* stage only
     # (4x fewer gathered bytes; final token features stay bilinear-exact).
     infer_gather_nearest: bool = False
+    # TPU-hardware approx_max_k for the hier cascade's *pruning* stages
+    # (recall 0.95 on the conservative keep-set; the final point top-K stays
+    # exact lax.top_k).
+    approx_selection_topk: bool = False
     mesh_axis_data: str = "data"
     num_data_workers: int = 15
     seed: int = 0

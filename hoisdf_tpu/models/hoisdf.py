@@ -249,6 +249,7 @@ class HOISDF(nn.Module):
                 sdf_fn, center, cam_intr, bbox,
                 sdf_scale=sdf_scale, num_points=num_points, bins_n=c.bins_n,
                 levels=c.hier_levels, clamp=c.clamping_distance,
+                approx_topk=c.approx_selection_topk,
             )
         else:
             points, sdf = sdf_guided_sample(

@@ -123,6 +123,7 @@ def sdf_guided_sample_hierarchical(
     bins_n: int = 64,
     levels: Tuple[Tuple[int, int], ...] = ((4, 512), (2, 896)),
     clamp: float = 0.15,
+    approx_topk: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Multi-level surface-point selection (VERDICT.md round-1 item #6).
 
@@ -172,12 +173,18 @@ def sdf_guided_sample_hierarchical(
         out = bases[..., None] + jnp.asarray(offs, bases.dtype)[None, None]
         return out.reshape(b, -1)
 
-    def probe(bases, factor, keep):
+    def probe(bases, factor, keep, final=True):
         pts = cell_coords(bases, factor)  # [B, M, 3]
         sdf = sdf_fn(pts)  # [B, M]
         in_box = _in_bbox(pts, center, cam_intr, bbox, sdf_scale)
         score = jnp.where(in_box, jnp.abs(sdf), jnp.inf)
-        _, sel = jax.lax.top_k(-score, keep)
+        if approx_topk and not final:
+            # TPU-hardware-accelerated approximate top-k for the *pruning*
+            # stages only: recall<1 just means a slightly different
+            # conservative keep-set; the final point selection stays exact.
+            _, sel = jax.lax.approx_max_k(-score, keep, recall_target=0.95)
+        else:
+            _, sel = jax.lax.top_k(-score, keep)
         return jnp.take_along_axis(bases, sel, axis=1), pts, sdf, score, sel
 
     # Level 0: all cells of edge factors[0].
@@ -192,11 +199,11 @@ def sdf_guided_sample_hierarchical(
     bases = jnp.broadcast_to(
         jnp.asarray(base0, jnp.int32)[None], (b, base0.size)
     )
-    bases, _, _, _, _ = probe(bases, f0, levels[0][1])
+    bases, _, _, _, _ = probe(bases, f0, levels[0][1], final=False)
 
     for (pf, _), (cf, keep) in zip(levels[:-1], levels[1:]):
         bases = child_bases(bases, pf, cf)
-        bases, _, _, _, _ = probe(bases, cf, keep)
+        bases, _, _, _, _ = probe(bases, cf, keep, final=False)
 
     # Final stage: every fine lattice point of the surviving cells.
     bases = child_bases(bases, factors[-1], 1)

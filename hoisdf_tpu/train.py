@@ -214,6 +214,7 @@ def compute_losses(
 def make_train_step(
     cfg: Config, model: HOISDF, mano_buffers: ManoBuffers,
     donate_state: bool = False,
+    state_shardings=None,
 ):
     """Build the jitted SPMD train step.  ``use_presampled`` is static.
 
@@ -222,6 +223,10 @@ def make_train_step(
     saved per step.  The caller must then rebind the returned state and never
     touch the old one (the production loops do; tests that diff old-vs-new
     state keep the default).
+
+    ``state_shardings`` (from ``parallel.zero.shard_state``) pins the updated
+    state to its ZeRO/FSDP layout so the sharded optimizer update stays
+    sharded across steps instead of XLA re-deciding per step.
     """
 
     @functools.partial(
@@ -257,6 +262,10 @@ def make_train_step(
             loss_fn, has_aux=True
         )(state.params)
         new_state = state.apply_gradients(grads, new_bs)
+        if state_shardings is not None:
+            new_state = jax.lax.with_sharding_constraint(
+                new_state, state_shardings
+            )
         losses["total"] = total
         return new_state, losses
 

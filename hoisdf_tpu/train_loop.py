@@ -96,6 +96,12 @@ def parse_args():
     p.add_argument("--iters-per-epoch", type=int, default=None)
     p.add_argument("--cpu", action="store_true")
     p.add_argument(
+        "--zero", choices=["off", "zero1", "fsdp"], default="off",
+        help="shard optimizer moments (zero1) or moments+params (fsdp) over "
+             "the data mesh via GSPMD annotations (parallel/zero.py); 'off' "
+             "replicates like the reference's DataParallel",
+    )
+    p.add_argument(
         "--cfg", action="append", default=[], metavar="KEY=VALUE",
         help="config field override (repeatable); VALUE is parsed as JSON "
              "with a plain-string fallback, e.g. --cfg annotation_dir=/data "
@@ -199,7 +205,17 @@ def main():
             logger.info(f"resumed from epoch {restored['epoch']}")
 
     mesh = make_mesh()
-    train_step = make_train_step(cfg, model, mano, donate_state=True)
+    state_sh = None
+    if args.zero != "off":
+        from hoisdf_tpu.parallel.zero import shard_state
+
+        state, state_sh = shard_state(
+            state, mesh, shard_params=args.zero == "fsdp"
+        )
+        logger.info(f"sharded train state over the mesh ({args.zero})")
+    train_step = make_train_step(
+        cfg, model, mano, donate_state=True, state_shardings=state_sh
+    )
     eval_step = make_eval_step(cfg, model, mano)
     rng = jax.random.PRNGKey(cfg.seed + 1)
     host_rng = np.random.default_rng(cfg.seed + 2)

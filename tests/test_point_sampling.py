@@ -143,6 +143,28 @@ def test_hierarchical_matches_full_on_smooth_field():
     )
 
 
+def test_hierarchical_approx_topk_matches_full_on_smooth_field():
+    """approx_max_k pruning (config.approx_selection_topk) keeps selection
+    quality on a smooth field: the keep-set is conservative, the final top-K
+    stays exact lax.top_k."""
+    from hoisdf_tpu.ops.point_sampling import sdf_guided_sample_hierarchical
+
+    center, cam, bbox = _setup()
+    k = 64
+    pts_full, _ = sdf_guided_sample(
+        sphere_sdf, center, cam, bbox, sdf_scale=3.1, num_points=k,
+        bins_n=16, chunk=4096,
+    )
+    pts_a, sdf_a = sdf_guided_sample_hierarchical(
+        sphere_sdf, center, cam, bbox, sdf_scale=3.1, num_points=k,
+        bins_n=16, levels=((4, 24), (2, 72)), approx_topk=True,
+    )
+    assert pts_a.shape == (2, k, 3)
+    full_set = {tuple(np.round(p, 5)) for p in np.asarray(pts_full[0])}
+    a_set = {tuple(np.round(p, 5)) for p in np.asarray(pts_a[0])}
+    assert len(full_set & a_set) / k > 0.85, len(full_set & a_set) / k
+
+
 def test_hierarchical_probe_points_lie_on_fine_lattice():
     from hoisdf_tpu.ops.point_sampling import sdf_guided_sample_hierarchical
 
