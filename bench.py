@@ -104,18 +104,29 @@ def _attempt(cfg, model, mano, variables, batch: int, iters: int, warmup: int):
         preds = eval_step(params, batch_stats, inputs)
         jax.block_until_ready(preds)
 
+    # Latency: block every step (includes the remote-tunnel dispatch
+    # constant, ~29 ms/step on this axon setup — see docs/PERFORMANCE.md).
     iter_times = []
-    t0 = time.perf_counter()
     for _ in range(iters):
         it0 = time.perf_counter()
         preds = eval_step(params, batch_stats, inputs)
         jax.block_until_ready(preds)
         iter_times.append(time.perf_counter() - it0)
+    p50 = sorted(iter_times)[len(iter_times) // 2] / batch * 1000
+
+    # Throughput: pipelined dispatch (the serving pattern) — enqueue every
+    # step and block once; JAX's async dispatch overlaps the per-step RPC
+    # with device execution, so steady-state rate is device-time bound.
+    outs = []
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        outs.append(eval_step(params, batch_stats, inputs))
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
 
     fps = batch * iters / dt
-    p50 = sorted(iter_times)[len(iter_times) // 2] / batch * 1000
-    _log(f"attempt batch={batch}: OK — {fps:.1f} f/s, p50 {p50:.2f} ms/frame")
+    _log(f"attempt batch={batch}: OK — {fps:.1f} f/s pipelined, "
+         f"p50 {p50:.2f} ms/frame blocking")
     return fps, p50
 
 

@@ -339,6 +339,11 @@ def main():
                 )
                 yield inputs, targets, templates
 
+    # One-batch lookahead: dispatch batch i+1's eval step (JAX async) before
+    # pulling batch i's outputs to host for metrics, overlapping the remote
+    # dispatch + device compute with the host-side metric work (the
+    # reference's loop is fully serial, main/test.py:119-227).
+    pending = None
     for inputs, targets, templates in batches():
         with mesh:
             inputs_j = shard_batch(
@@ -346,7 +351,11 @@ def main():
                  if k not in ("obj_cls", "obj_valid")}, mesh,
             )
             preds = eval_step(params, batch_stats, inputs_j)
-        evaluator.feed(preds, targets, inputs, jnp.asarray(templates))
+        if pending is not None:
+            evaluator.feed(*pending)
+        pending = (preds, targets, inputs, jnp.asarray(templates))
+    if pending is not None:
+        evaluator.feed(*pending)
 
     os.makedirs(args.out, exist_ok=True)
     path = evaluator.write_results(args.out)
