@@ -70,47 +70,52 @@ def rotation_angle(
 
 
 def get_affine_trans_no_rot(center, scale, res) -> np.ndarray:
-    """Square crop of side ``scale`` around ``center`` -> res (dataset_util.py:97-103)."""
-    a = np.zeros((3, 3))
-    a[0, 0] = float(res[0]) / scale
-    a[1, 1] = float(res[1]) / scale
-    a[0, 2] = res[1] * (-float(center[0]) / scale + 0.5)
-    a[1, 2] = res[0] * (-float(center[1]) / scale + 0.5)
-    a[2, 2] = 1
-    return a
+    """Pixel-space 3x3 mapping a square window of edge ``scale`` centred at
+    ``center`` onto an output canvas of dims ``res``.
+
+    Numerically identical to the reference's matrix (dataset_util.py:97-103)
+    including its crossed use of the two output dims between the zoom
+    diagonal and the translation column (visible only for non-square
+    outputs; every preset crops square).
+    """
+    zoom_u = float(res[0]) / scale
+    zoom_v = float(res[1]) / scale
+    shift_u = res[1] * (0.5 - float(center[0]) / scale)
+    shift_v = res[0] * (0.5 - float(center[1]) / scale)
+    return np.array(
+        [[zoom_u, 0.0, shift_u], [0.0, zoom_v, shift_v], [0.0, 0.0, 1.0]]
+    )
 
 
 def get_affine_transform(center, scale, res, rot: float = 0, K=None):
-    """In-plane rot about the image origin then crop (dataset_util.py:54-94).
+    """In-plane spin about the pixel origin composed with the crop window
+    (dataset_util.py:54-94).
 
-    Returns (total_trans, post_rot_trans, rot_mat) when K is given (the
-    reference re-centres the rotation on the principal point for the
-    K update), else (total_trans, rot_mat).
+    With ``K`` the spin is additionally re-centred on the principal point —
+    that variant feeds the intrinsics update, and its matrix-chain
+    evaluation order is kept bit-identical to the reference for crop
+    parity.  Returns ``(total, spun_crop, spin)`` with K, else
+    ``(total, spin)``.
     """
-    rot_mat = np.zeros((3, 3))
     sn, cs = np.sin(rot), np.cos(rot)
-    rot_mat[0, :2] = [cs, -sn]
-    rot_mat[1, :2] = [sn, cs]
-    rot_mat[2, 2] = 1
-    center_h = np.array([center[0], center[1], 1.0])
-    origin_rot_center = (rot_mat @ center_h)[:2]
-    post_rot_trans = get_affine_trans_no_rot(origin_rot_center, scale, res)
-    total_trans = post_rot_trans @ rot_mat
-    if K is None:
-        return total_trans.astype(np.float32), rot_mat.astype(np.float32)
-    t_mat = np.eye(3)
-    t_mat[0, 2] = -K[0, 2]
-    t_mat[1, 2] = -K[1, 2]
-    t_inv = t_mat.copy()
-    t_inv[:2, 2] *= -1
-    transformed_center = t_inv @ rot_mat @ t_mat @ center_h
-    affinetrans_post_rot = get_affine_trans_no_rot(
-        transformed_center[:2], scale, res
+    spin = np.array(
+        [[cs, -sn, 0.0], [sn, cs, 0.0], [0.0, 0.0, 1.0]]
     )
+    center_h = np.array([center[0], center[1], 1.0])
+    crop = get_affine_trans_no_rot((spin @ center_h)[:2], scale, res)
+    total = crop @ spin
+    if K is None:
+        return total.astype(np.float32), spin.astype(np.float32)
+    to_pp = np.eye(3)
+    to_pp[:2, 2] = [-K[0, 2], -K[1, 2]]
+    from_pp = to_pp.copy()
+    from_pp[:2, 2] *= -1
+    center_spun_about_pp = from_pp @ spin @ to_pp @ center_h
+    spun_crop = get_affine_trans_no_rot(center_spun_about_pp[:2], scale, res)
     return (
-        total_trans.astype(np.float32),
-        affinetrans_post_rot.astype(np.float32),
-        rot_mat.astype(np.float32),
+        total.astype(np.float32),
+        spun_crop.astype(np.float32),
+        spin.astype(np.float32),
     )
 
 
