@@ -44,7 +44,7 @@ class Predictor:
         batch_size: int = 8,
     ):
         self.cfg = cfg or get_config(
-            "dexycb", sdf_infer_mode="coarse2fine", compute_dtype="bfloat16"
+            "dexycb", sdf_infer_mode="hier", compute_dtype="bfloat16"
         )
         self.batch_size = batch_size
         self.model = build_model(self.cfg)

@@ -47,7 +47,9 @@ from hoisdf_tpu.utils.logger import colorlogger
 from hoisdf_tpu.utils.timer import Timer
 
 
-def dump_debug_images(out_dir: str, step: int, preds: Dict, targets: Dict) -> None:
+def dump_debug_images(
+    out_dir: str, step: int, preds: Dict, targets: Dict, writer=None
+) -> None:
     """PNG dumps of predicted heatmap/segmentations vs GT — the JSONL-era
     equivalent of the reference's TensorBoard image grids
     (main/train.py:302-440)."""
@@ -66,14 +68,26 @@ def dump_debug_images(out_dir: str, step: int, preds: Dict, targets: Dict) -> No
         panels.append(norm255(np.asarray(targets["obj_seg"][0])))
     grid = np.concatenate(panels, axis=1)
     PILImage.fromarray(grid).save(os.path.join(out_dir, f"debug_{step:08d}.png"))
+    if writer is not None:
+        writer.add_image(step, "debug/heads", grid)
 
 
 class ScalarWriter:
-    """Append-only JSONL scalar log (TensorBoard-equivalent observability)."""
+    """Append-only JSONL scalar log, mirrored to TensorBoard event files when
+    a SummaryWriter implementation is importable (the reference logs through
+    tensorboardX, main/train.py:302-440; JSONL stays the source of truth so
+    the loop never depends on TB being installed)."""
 
     def __init__(self, log_dir: str):
         os.makedirs(log_dir, exist_ok=True)
         self._f = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+        self._tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._tb = SummaryWriter(os.path.join(log_dir, "tb"))
+        except Exception:  # noqa: BLE001 — TB is optional observability
+            pass
 
     def add_scalars(self, step: int, scalars: Dict[str, float]) -> None:
         self._f.write(
@@ -81,6 +95,17 @@ class ScalarWriter:
             + "\n"
         )
         self._f.flush()
+        if self._tb is not None:
+            for k, v in scalars.items():
+                self._tb.add_scalar(k, float(v), step)
+
+    def add_image(self, step: int, tag: str, img_hw_or_hwc) -> None:
+        """Log a [H,W] or [H,W,C] uint8 image to TB (no-op without TB)."""
+        if self._tb is not None:
+            arr = np.asarray(img_hw_or_hwc)
+            if arr.ndim == 2:
+                arr = arr[..., None]
+            self._tb.add_image(tag, arr, step, dataformats="HWC")
 
 
 def parse_args():
@@ -276,7 +301,7 @@ def main():
                     ev.feed(preds, e_tg, e_in, templates)
                     dump_debug_images(
                         os.path.join(out_root, "debug_images"), int(state.step),
-                        preds, e_tg,
+                        preds, e_tg, writer=writer,
                     )
                 elif cfg.dataset == "dexycb" and cfg.annotation_dir:
                     # Real eval-during-training (main/train.py:164-557 /
@@ -308,7 +333,7 @@ def main():
                             # (main/train.py:302-440).
                             dump_debug_images(
                                 os.path.join(out_root, "debug_images"),
-                                int(state.step), preds, e_tg,
+                                int(state.step), preds, e_tg, writer=writer,
                             )
                         if meshes:
                             templates = jnp.asarray(np.stack(
