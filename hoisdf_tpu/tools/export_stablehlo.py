@@ -67,8 +67,14 @@ def unflatten_params(flat: Dict[str, np.ndarray]):
     return tree
 
 
-def export_serving_module(predictor, out_dir: str) -> str:
-    """Serialize ``predictor``'s eval forward + params to ``out_dir``."""
+def export_serving_module(
+    predictor, out_dir: str, *, polymorphic_batch: bool = False
+) -> str:
+    """Serialize ``predictor``'s eval forward + params to ``out_dir``.
+
+    ``polymorphic_batch=True`` exports with a symbolic leading dim so ONE
+    artifact serves any batch size (jax.export symbolic shapes); otherwise
+    the predictor's fixed batch is baked in."""
     import jax
     import jax.numpy as jnp
     from jax import export as jexport
@@ -103,7 +109,17 @@ def export_serving_module(predictor, out_dir: str) -> str:
             "obj_trans": out["obj_trans"][-1].mean(axis=1),
         }
 
-    example_inputs = [predictor._template[k] for k in INPUT_KEYS]
+    if polymorphic_batch:
+        (b,) = jexport.symbolic_shape("b")
+        example_inputs = [
+            jax.ShapeDtypeStruct(
+                (b,) + np.shape(predictor._template[k])[1:],
+                np.asarray(predictor._template[k]).dtype,
+            )
+            for k in INPUT_KEYS
+        ]
+    else:
+        example_inputs = [predictor._template[k] for k in INPUT_KEYS]
     exported = jexport.export(jax.jit(forward))(*param_vals, *example_inputs)
 
     os.makedirs(out_dir, exist_ok=True)
@@ -115,14 +131,16 @@ def export_serving_module(predictor, out_dir: str) -> str:
     sig = {
         "param_order": param_order,
         "inputs": {
-            k: {"shape": list(np.shape(predictor._template[k])),
+            k: {"shape": ["b" if polymorphic_batch else
+                          np.shape(predictor._template[k])[0]]
+                + list(np.shape(predictor._template[k]))[1:],
                 "dtype": str(np.asarray(predictor._template[k]).dtype)}
             for k in INPUT_KEYS
         },
         "input_order": list(INPUT_KEYS),
         "outputs": ["mano_joints", "mano_verts", "hand_joints",
                     "obj_rot", "obj_trans"],
-        "batch_size": predictor.batch_size,
+        "batch_size": "b" if polymorphic_batch else predictor.batch_size,
         "setting": cfg.dataset,
     }
     with open(os.path.join(out_dir, "signature.json"), "w") as f:
@@ -136,6 +154,10 @@ def main():
     p.add_argument("--setting", default="dexycb")
     p.add_argument("--ckpt", default=None)
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument(
+        "--polymorphic-batch", action="store_true",
+        help="export with a symbolic leading dim (one artifact, any batch)",
+    )
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--cfg", action="append", default=[], metavar="KEY=VALUE")
     args = p.parse_args()
@@ -153,7 +175,9 @@ def main():
         **parse_cfg_overrides(args.cfg),
     )
     pred = Predictor(cfg, ckpt_dir=args.ckpt, batch_size=args.batch_size)
-    path = export_serving_module(pred, args.out_dir)
+    path = export_serving_module(
+        pred, args.out_dir, polymorphic_batch=args.polymorphic_batch
+    )
     print("wrote", path)
 
 

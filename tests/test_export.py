@@ -66,3 +66,25 @@ def test_export_deserialize_call_matches_predictor(tmp_path):
         np.asarray(outs["obj_trans"]), direct["obj_trans"].mean(axis=1),
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_polymorphic_export_serves_multiple_batch_sizes(tmp_path):
+    from jax import export as jexport
+
+    pred = Predictor(tiny_cfg(), batch_size=2)
+    out_dir = str(tmp_path / "poly")
+    blob_path = export_serving_module(pred, out_dir, polymorphic_batch=True)
+
+    sig = json.load(open(os.path.join(out_dir, "signature.json")))
+    assert sig["batch_size"] == "b"
+    flat = np.load(os.path.join(out_dir, "params.npz"))
+    params = [flat[k] for k in sig["param_order"]]
+    tmpl = [np.asarray(pred._template[k]) for k in sig["input_order"]]
+
+    exp = jexport.deserialize(open(blob_path, "rb").read())
+    for n in (2, 4):
+        inputs = [np.repeat(v, n // 2, axis=0) if v.shape[0] != n else v
+                  for v in tmpl]
+        outs = exp.call(*params, *inputs)
+        assert outs["mano_joints"].shape == (n, 21, 3)
+        assert np.isfinite(np.asarray(outs["mano_joints"])).all()
