@@ -41,8 +41,16 @@ def _log(msg: str) -> None:
 
 def _read_baseline() -> float | None:
     """First green recorded round (driver artifact or raw bench JSON)."""
+
+    def round_num(path: str) -> int:
+        import re
+
+        m = re.search(r"BENCH_r(\d+)", os.path.basename(path))
+        return int(m.group(1)) if m else 1 << 30
+
     for path in sorted(
-        glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json"))
+        glob.glob(os.path.join(os.path.dirname(__file__), "BENCH_r*.json")),
+        key=round_num,
     ):
         try:
             with open(path) as f:
@@ -268,15 +276,19 @@ def main() -> None:
                 _log(f"attempt batch={batch} FAILED: {type(exc).__name__}: "
                      f"{str(exc)[:500]}")
                 traceback.print_exc(file=sys.stderr)
-                if batch == ladder[-1]:
-                    break
-                # A faulted client cannot recover in-process; subsequent
-                # attempts go through fresh subprocesses after a recovery wait.
+                # A faulted client cannot recover in-process; retry THIS batch
+                # and any remaining ladder entries in fresh subprocesses after
+                # a recovery wait (also covers a single-entry ladder).
                 in_process_ok = False
                 jax.clear_caches()
                 gc.collect()
                 _log("switching to fresh-process attempts (60s recovery wait)")
                 time.sleep(60)
+                res = _subprocess_attempt(batch, passthrough)
+                if res is not None:
+                    fps, p50 = res
+                    used_batch = batch
+                    break
         else:
             res = _subprocess_attempt(batch, passthrough)
             if res is not None:
@@ -300,6 +312,11 @@ def main() -> None:
                 "value": round(fps, 3),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(vs, 3),
+                # ladder fallback can shrink the batch — record it so a
+                # reduced-batch number is never mistaken for the standard
+                # batch-22 metric
+                "batch": used_batch,
+                "p50_ms_per_frame": round(p50, 3),
             }
         )
     )

@@ -150,8 +150,17 @@ def grid_sample_bilinear_slices(feat: jax.Array, grid: jax.Array) -> jax.Array:
     return top * (1 - wy) + bot * wy
 
 
-@jax.custom_vjp
 def grid_sample_bilinear_fast(feat: jax.Array, grid: jax.Array) -> jax.Array:
+    """Self-enforcing wrapper: the fast path's custom VJP returns ZERO for
+    d/dgrid (see below), so sever the grid here — a future caller that
+    expects grid gradients fails loudly at the stop_gradient contract
+    (zero grads traced to this line) instead of silently not learning.
+    Callers that need grid gradients must use ``grid_sample_bilinear``."""
+    return _grid_sample_bilinear_fast(feat, jax.lax.stop_gradient(grid))
+
+
+@jax.custom_vjp
+def _grid_sample_bilinear_fast(feat: jax.Array, grid: jax.Array) -> jax.Array:
     """Differentiable bilinear sampling with the fast single-slice forward.
 
     Forward: ``grid_sample_bilinear_slices`` (one 2x2xC lax.gather per point
@@ -203,7 +212,7 @@ def _gsb_fast_bwd(res, g):
     return dflat.reshape(b, h, w, c).astype(feat_dtype), jnp.zeros_like(grid)
 
 
-grid_sample_bilinear_fast.defvjp(_gsb_fast_fwd, _gsb_fast_bwd)
+_grid_sample_bilinear_fast.defvjp(_gsb_fast_fwd, _gsb_fast_bwd)
 
 
 # Below this table size the one-hot-matmul formulation beats the gather unit.

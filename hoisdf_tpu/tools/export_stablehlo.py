@@ -98,13 +98,12 @@ def export_serving_module(
             inputs, use_presampled=False, train=False, supervise_sdf=False,
         )
         pred_mano = mano_head_pred(mano, out["mano_pose6d"], out["mano_shape"])
-        votes = out["hand_points_notrans"][None, :, :, None, :] + out[
-            "hand_off"].reshape(*out["hand_off"].shape[:3], 20, 3)
-        weights = jax.nn.softmax(out["hand_cls"], axis=2)[..., None]
+        from hoisdf_tpu.train import vote_hand_joints
+
         return {
             "mano_joints": pred_mano["joints3d"][-1],
             "mano_verts": pred_mano["verts3d"][-1],
-            "hand_joints": jnp.sum(votes * weights, axis=2)[-1],
+            "hand_joints": vote_hand_joints(out),
             "obj_rot": out["obj_rot"][-1].mean(axis=1),
             "obj_trans": out["obj_trans"][-1].mean(axis=1),
         }
@@ -170,10 +169,9 @@ def main():
     from hoisdf_tpu.config import get_config, parse_cfg_overrides
     from hoisdf_tpu.predictor import Predictor
 
-    cfg = get_config(
-        args.setting, sdf_infer_mode="hier", compute_dtype="bfloat16",
-        **parse_cfg_overrides(args.cfg),
-    )
+    overrides = {"sdf_infer_mode": "hier", "compute_dtype": "bfloat16"}
+    overrides.update(parse_cfg_overrides(args.cfg))  # --cfg wins
+    cfg = get_config(args.setting, **overrides)
     pred = Predictor(cfg, ckpt_dir=args.ckpt, batch_size=args.batch_size)
     path = export_serving_module(
         pred, args.out_dir, polymorphic_batch=args.polymorphic_batch

@@ -164,7 +164,10 @@ def compute_losses(
         losses["joint_heatmap"] = joint_heatmap_loss(heads[..., 0], gt_hm)
         losses["hand_seg"] = jnp.mean(bce(heads[..., 1], targets["hand_seg"]))
         losses["obj_seg"] = jnp.mean(bce(heads[..., 2], targets["obj_seg"]))
-        if cfg.classifier_branch and "hand_cls_logits" in out:
+        # labels can legitimately be absent: both datasets omit them when the
+        # sdf .npy files carry only 5 columns (data/dexycb.py, data/ho3d.py)
+        if (cfg.classifier_branch and "hand_cls_logits" in out
+                and "hand_part_labels" in targets):
             losses["sdf_cls_loss"] = sdf_part_classifier_loss(
                 out["hand_cls_logits"], targets["hand_part_labels"]
             )
@@ -272,6 +275,17 @@ def make_train_step(
     return train_step
 
 
+def vote_hand_joints(out: Dict[str, jax.Array]) -> jax.Array:
+    """Softmax-aggregated per-point votes -> hand joints [B,20,3] m
+    (loss.py:53-56).  Shared by eval, serving export, and the graft entry so
+    the aggregation can never drift between them."""
+    votes = out["hand_points_notrans"][None, :, :, None, :] + out[
+        "hand_off"
+    ].reshape(*out["hand_off"].shape[:3], 20, 3)
+    weights = jax.nn.softmax(out["hand_cls"], axis=2)[..., None]
+    return jnp.sum(votes * weights, axis=2)[-1]
+
+
 def make_eval_step(
     cfg: Config, model: HOISDF, mano_buffers: ManoBuffers,
     supervise_sdf: Optional[bool] = None,
@@ -303,12 +317,7 @@ def make_eval_step(
             "hand_cls": out["hand_cls"],
             "decoder_heads": out["decoder_heads"],
         }
-        # softmax-aggregated per-point votes -> hand joints (loss.py:53-56)
-        votes = out["hand_points_notrans"][None, :, :, None, :] + out[
-            "hand_off"
-        ].reshape(*out["hand_off"].shape[:3], 20, 3)
-        weights = jax.nn.softmax(out["hand_cls"], axis=2)[..., None]
-        preds["hand_joints"] = jnp.sum(votes * weights, axis=2)[-1]  # [B,20,3] m
+        preds["hand_joints"] = vote_hand_joints(out)  # [B,20,3] m
         if not cfg.use_inverse_kinematics:
             pred_mano = mano_head_pred(
                 mano_buffers, out["mano_pose6d"], out["mano_shape"]
