@@ -265,6 +265,25 @@ def main():
                 )
                 total = float(losses["total"])
                 step_timer.toc()
+                if not np.isfinite(total):
+                    # Failure detection: dump a crash snapshot (params AND
+                    # the step's loss breakdown) before dying, so a NaN
+                    # hours into a run is diagnosable + resumable from the
+                    # last good snapshot rather than silently corrupting
+                    # every later one.
+                    crash = {k: float(v) for k, v in losses.items()}
+                    logger.error(
+                        f"non-finite loss at epoch {epoch} itr {itr}: {crash}"
+                    )
+                    ckpt_util.save_snapshot(
+                        os.path.join(model_dir, "crash"), epoch,
+                        {"params": state.params,
+                         "batch_stats": state.batch_stats,
+                         "opt_state": state.opt_state, "step": state.step},
+                    )
+                    raise FloatingPointError(
+                        f"non-finite training loss: {crash}"
+                    )
                 if itr % 400 == 0:
                     writer.add_scalars(
                         int(state.step), {f"train_{k}": v for k, v in losses.items()}
