@@ -208,6 +208,10 @@ def main() -> None:
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    from hoisdf_tpu.utils.compile_cache import enable as enable_compile_cache
+
+    enable_compile_cache()
+
     from hoisdf_tpu.config import get_config
     from hoisdf_tpu.data.synthetic import synthetic_batch
     from hoisdf_tpu.mano.layer import ManoBuffers

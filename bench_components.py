@@ -46,6 +46,9 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from hoisdf_tpu.utils.compile_cache import enable as _enable_cc
+
+    _enable_cc()
     import jax.numpy as jnp
     import numpy as np
 

@@ -235,6 +235,9 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from hoisdf_tpu.utils.compile_cache import enable as _enable_cc
+
+    _enable_cc()
 
     from hoisdf_tpu.config import parse_cfg_overrides
 

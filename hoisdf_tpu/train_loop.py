@@ -139,6 +139,9 @@ def main():
     args = parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from hoisdf_tpu.utils.compile_cache import enable as _enable_cc
+
+    _enable_cc()
 
     overrides = {}
     if args.end_epoch is not None:
