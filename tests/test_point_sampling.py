@@ -194,3 +194,49 @@ def test_hierarchical_degenerate_bbox_static_shapes():
     )
     assert pts.shape == (2, 16, 3)
     assert np.isfinite(np.asarray(sdf)).all()
+
+
+def test_hier_levels_selection_quality_on_hand_geometry():
+    """Back the production hier_levels with hand-SHAPED geometry, not just a
+    sphere: the true unsigned distance field of a posed synthetic MANO hand.
+    Default-ratio levels must keep >=95% of the dense scan's top-K nearest-
+    surface lattice points; the documented aggressive ratio >=90%.
+    (Scaled to a 32-lattice: (4,64),(2,112) ~ ((4,512),(2,896)) on 64^3 and
+    (4,32),(2,64) ~ ((4,256),(2,512)).)"""
+    import jax
+    from hoisdf_tpu.mano.layer import ManoBuffers, mano_forward
+    from hoisdf_tpu.mano.model import make_synthetic_mano
+    from hoisdf_tpu.ops.point_sampling import sdf_guided_sample_hierarchical
+
+    buffers = ManoBuffers.from_model(make_synthetic_mano(0))
+    rng = np.random.RandomState(3)
+    pose = jnp.asarray(rng.randn(2, 48).astype(np.float32) * 0.4)
+    betas = jnp.asarray(rng.randn(2, 10).astype(np.float32) * 0.5)
+    verts_mm, joints_mm = mano_forward(buffers, pose, betas)  # [2,778,3] mm
+    root_mm = joints_mm[:, :1]
+    # hand surface in the scaled lattice frame (root-centred metres, x3.1)
+    verts_s = (verts_mm - root_mm) / 1000.0 * 3.1
+
+    def hand_sdf(pts):  # [B, M, 3] -> unsigned distance to the vertex cloud
+        d = jnp.linalg.norm(pts[:, :, None, :] - verts_s[:, None, :, :], axis=-1)
+        return d.min(axis=-1)
+
+    center, cam, bbox = _setup()
+    k = 64
+    pts_full, _ = sdf_guided_sample(
+        hand_sdf, center, cam, bbox, sdf_scale=3.1, num_points=k,
+        bins_n=32, chunk=4096,
+    )
+    for levels, min_overlap in (
+        (((4, 64), (2, 112)), 0.95),   # default ratio
+        (((4, 32), (2, 64)), 0.90),    # aggressive ratio
+    ):
+        pts_h, _ = sdf_guided_sample_hierarchical(
+            hand_sdf, center, cam, bbox, sdf_scale=3.1, num_points=k,
+            bins_n=32, levels=levels,
+        )
+        for b in range(2):
+            full_set = {tuple(np.round(p, 5)) for p in np.asarray(pts_full[b])}
+            h_set = {tuple(np.round(p, 5)) for p in np.asarray(pts_h[b])}
+            overlap = len(full_set & h_set) / k
+            assert overlap >= min_overlap, (levels, b, overlap)
