@@ -280,6 +280,8 @@ def main() -> None:
                 _log(f"attempt batch={batch} FAILED: {type(exc).__name__}: "
                      f"{str(exc)[:500]}")
                 traceback.print_exc(file=sys.stderr)
+                if args.no_retry:
+                    break
                 # A faulted client cannot recover in-process; retry THIS batch
                 # and any remaining ladder entries in fresh subprocesses after
                 # a recovery wait (also covers a single-entry ladder).

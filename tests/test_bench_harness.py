@@ -79,3 +79,31 @@ def test_ladder_falls_back_to_fresh_process_on_same_batch(bench, monkeypatch):
     )
     mod.main()  # must NOT raise SystemExit — the retry rescued the run
     assert calls == [4]
+
+
+def test_no_retry_fails_fast_without_subprocess(bench, monkeypatch):
+    """--no-retry means exactly one in-process attempt: no ladder descent,
+    no fresh-process retries (probe/diagnostic mode)."""
+    mod, _ = bench
+    calls = []
+    monkeypatch.setattr(
+        mod, "_subprocess_attempt",
+        lambda *a, **k: calls.append(a) or (1.0, 1.0),
+    )
+    monkeypatch.setattr(mod.time, "sleep", lambda s: None)
+    monkeypatch.setattr(
+        mod, "_init_params_on_cpu", lambda cfg, model, b: {"params": {}}
+    )
+
+    def fake_attempt(*a, **k):
+        raise RuntimeError("kernel fault")
+
+    monkeypatch.setattr(mod, "_attempt", fake_attempt)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["bench.py", "--batch", "4", "--iters", "1", "--warmup", "0",
+         "--no-retry"],
+    )
+    with pytest.raises(SystemExit):
+        mod.main()
+    assert calls == []
