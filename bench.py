@@ -173,6 +173,11 @@ def _subprocess_attempt(batch: int, passthrough, tries: int = 2, wait: int = 90)
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--cpu", action="store_true", help="CPU smoke mode")
+    parser.add_argument(
+        "--setting", default="dexycb",
+        choices=["dexycb", "dexycb_full", "ho3d", "ho3d_render"],
+        help="config preset (ho3d* use the big decoder + IK head)",
+    )
     parser.add_argument("--batch", type=int, default=22)
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--warmup", type=int, default=2)
@@ -220,7 +225,7 @@ def main() -> None:
 
     if args.cpu:
         cfg = get_config(
-            "dexycb", resnet_type=18, hidden_dim=64, dim_feedforward=128,
+            args.setting, resnet_type=18, hidden_dim=64, dim_feedforward=128,
             enc_layers=2, dec_layers=2, num_samp_hand=32, num_samp_obj=16,
             input_img_shape=(64, 64), output_hm_shape=(32, 32, 32), bins_n=16,
             sdf_infer_chunk=2048,
@@ -233,7 +238,7 @@ def main() -> None:
                 tuple(l) for l in json.loads(args.hier_levels)
             )
         cfg = get_config(
-            "dexycb", sdf_infer_mode=args.sdf_infer_mode,
+            args.setting, sdf_infer_mode=args.sdf_infer_mode,
             compute_dtype=args.dtype, fused_sdf_infer=not args.no_fused,
             **extra,
         )
@@ -257,6 +262,7 @@ def main() -> None:
         {b for b in (args.batch, 16, 11, 8, 4) if b <= args.batch}, reverse=True
     )
     passthrough = [
+        "--setting", args.setting,
         "--sdf-infer-mode", args.sdf_infer_mode, "--dtype", args.dtype,
         "--iters", str(args.iters), "--warmup", str(args.warmup),
     ] + (["--no-fused"] if args.no_fused else []) + (
@@ -314,7 +320,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "dexycb_eval_inference_throughput",
+                "metric": f"{args.setting}_eval_inference_throughput",
                 "value": round(fps, 3),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(vs, 3),
