@@ -27,6 +27,10 @@ class Config:
     image_fast_path: Optional[str] = None
     output_dir: str = "outputs"
     mano_model_path: Optional[str] = None  # npz produced by tools/convert_mano_pkl.py
+    # LEFT-hand MANO npz: DexYCB's left-hand flip path converts PCA poses
+    # with the left basis (data/dexycb.py:99-110,433-459); without it those
+    # samples would silently use the right basis.
+    mano_left_path: Optional[str] = None
 
     # ---- batch sizes (main/config.py:60-62) ---------------------------------
     train_batch_size: int = 22

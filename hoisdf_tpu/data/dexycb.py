@@ -48,6 +48,11 @@ class DexYCBDataset:
     """Map-style dataset; __getitem__(idx, epoch=0) -> flat batch dict
     matching hoisdf_tpu.data.synthetic.synthetic_batch's contract."""
 
+    # per-dataset aug knobs; HO3DDataset overrides these (data/ho3d.py:319-345
+    # vs data/dexycb.py:266-300 in the reference)
+    bbox_hand_factor = 1.1
+    aug_coord_change_mat = np.eye(3, dtype=np.float32)
+
     def __init__(
         self,
         cfg: Config,
@@ -74,53 +79,92 @@ class DexYCBDataset:
         self.comp_left = (
             mano_left.hands_components if mano_left is not None else self.comp_right
         )
+        self.has_left_basis = mano_left is not None
         self.hands_mean = mano_right.hands_mean
 
         ann_dir = cfg.annotation_dir
         if ann_dir is None:
             raise FileNotFoundError(
-                "cfg.annotation_dir is unset — point it at the DexYCB annotation "
-                "dump (per-split JSON of sample dicts, as produced for the "
-                "reference pipeline)."
+                "cfg.annotation_dir is unset — point it at the directory "
+                "holding the reference's dex_ycb_s0_{train,test}_data[_cut]"
+                ".json annotation dumps (data/dexycb.py:122-148)."
             )
-        split = "train" if mode == "train" else "test"
-        with open(os.path.join(ann_dir, f"dexycb_{split}_annotations.json")) as f:
-            self.sample_dict = json.load(f)
-        self.sample_list = sorted(self.sample_dict.keys())
-        if cfg.small_dexycb and mode != "train":
-            self.sample_list = self.sample_list[::4]
-
+        # root of the DexYCB release (label npz files, models/) — the
+        # reference's cfg.dexycb_data_dir (data/dexycb.py:41)
+        self.root = cfg.data_dir
         self.fast_data_dir = cfg.fast_data_dir
         self.image_fast_path = cfg.image_fast_path
-        self.seg_dir = os.path.join(ann_dir, f"segs_{split}")
+
+        # Annotation file names + SDF split dirs exactly as the reference
+        # resolves them (data/dexycb.py:122-148): the "_cut" jsons pair with
+        # the {train,test} SDF dirs, the full jsons with full_{train,test}.
+        split = "train" if mode == "train" else "test"
+        suffix = "_cut" if cfg.small_dexycb else ""
+        sdf_split = split if cfg.small_dexycb else f"full_{split}"
+        ann_path = os.path.join(ann_dir, f"dex_ycb_s0_{split}_data{suffix}.json")
+        with open(ann_path, encoding="utf-8") as f:
+            self.sample_dict = json.load(f)
+
+        # One GLOBAL sdf_index.npy aligned with the sorted sdf_processed
+        # listing (data/dexycb.py:149-160): rows are (hand_count, obj_count).
+        sdf_dir = os.path.join(self.fast_data_dir, sdf_split, "sdf_processed")
+        sdf_list = sorted(f.split(".")[0] for f in os.listdir(sdf_dir))
+        sdf_pos = {name: i for i, name in enumerate(sdf_list)}
+        raw_sdf_index = np.load(
+            os.path.join(self.fast_data_dir, sdf_split, "sdf_index.npy")
+        )
+
+        # Sample keys sorted numerically by their trailing id
+        # (data/dexycb.py:162), then bbox-sanitized for the full split
+        # (data/dexycb.py:163-180).
+        self.sample_list = sorted(
+            self.sample_dict.keys(), key=lambda x: int(x[3:])
+        )
+        if not cfg.small_dexycb:
+            kept = []
+            for sample in self.sample_list:
+                joint_2d = np.asarray(
+                    self.sample_dict[sample]["joint_2d"], np.float32
+                ).squeeze()
+                bbox = T.get_bbox(
+                    joint_2d, np.ones_like(joint_2d[:, 0]), expansion_factor=1.5
+                )
+                if T.process_bbox(bbox, 640, 480) is not None:
+                    kept.append(sample)
+            self.sample_list = kept
+
+        self.sdf_paths, self.sdf_counts = [], []
+        for sample in self.sample_list:
+            if cfg.small_dexycb:
+                # _cut jsons index SDF dumps by a mangled color_file stem
+                # (data/dexycb.py:195-202)
+                name = (
+                    self.sample_dict[sample]["color_file"]
+                    .split("-")[-1].split(".")[0].replace("/", "_")
+                )
+                name = name[:-12] + name[-2:]
+            else:
+                name = sample
+            self.sdf_paths.append(os.path.join(sdf_dir, name + ".npy"))
+            self.sdf_counts.append(raw_sdf_index[sdf_pos[name]])
         self.obj_bbox3d = self._load_bbox3d(cfg)
 
     def _load_bbox3d(self, cfg: Config) -> Dict[int, np.ndarray]:
-        """21-pt 3D bbox corners per YCB class (dataset_util.py:204-272),
-        derived from the .xyz simplified point clouds."""
+        """21-pt 3D bbox keypoints per YCB class (dataset_util.py:204-272)
+        from the ``{dexycb_root}/models/{name}/points.xyz`` clouds the
+        reference reads (dex_ycb_util.py:36-44); ``cfg.object_models_dir``
+        overrides the models root when set."""
         out = {}
-        if cfg.object_models_dir is None:
+        models_root = cfg.object_models_dir or (
+            os.path.join(cfg.data_dir, "models") if cfg.data_dir else None
+        )
+        if models_root is None:
             return out
         for cls_id, name in enumerate(YCB_CLASSES, start=1):
-            path = os.path.join(cfg.object_models_dir, name, "points.xyz")
+            path = os.path.join(models_root, name, "points.xyz")
             if not os.path.exists(path):
                 continue
-            pts = load_xyz_points(path)
-            mn, mx = pts.min(0), pts.max(0)
-            corners = np.array(
-                [[x, y, z] for x in (mn[0], mx[0]) for y in (mn[1], mx[1])
-                 for z in (mn[2], mx[2])], np.float32,
-            )
-            center = (mn + mx) / 2
-            face_centers = []
-            for axis in range(3):
-                for v in (mn[axis], mx[axis]):
-                    fc = center.copy()
-                    fc[axis] = v
-                    face_centers.append(fc)
-            out[cls_id] = np.concatenate(
-                [corners, np.asarray(face_centers, np.float32), center[None]], 0
-            )
+            out[cls_id] = T.get_bbox21_3d(load_xyz_points(path))
         return out
 
     def __len__(self) -> int:
@@ -164,10 +208,14 @@ class DexYCBDataset:
             [pose_aa[:3], pose_aa[3:48] + self.hands_mean, betas], 0
         )
 
-        # seg masks (packbit uint8 -> 480x640), lazily decoded
-        seg = np.load(os.path.join(self.seg_dir, f"{self.sample_list[idx]}.npz"))
-        hand_seg = np.unpackbits(seg["hand"]).reshape(480, 640)
-        obj_seg = np.unpackbits(seg["obj"]).reshape(480, 640)
+        # seg masks from the DexYCB label npz: hand pixels are 255, the
+        # grasped object's pixels carry its ycb id (data/dexycb.py:186-193;
+        # the reference packbits these at init — we decode lazily, same bits)
+        label = np.load(os.path.join(self.root, info["label_file"]))
+        hand_seg = (label["seg"] == 255).astype(np.uint8)
+        obj_seg = (
+            label["seg"] == info["ycb_ids"][info["ycb_grasp_ind"]]
+        ).astype(np.uint8)
         if do_flip:
             hand_seg, obj_seg = hand_seg[:, ::-1], obj_seg[:, ::-1]
         hand_seg = Image.fromarray(hand_seg)
@@ -193,15 +241,12 @@ class DexYCBDataset:
         p3d, p2d = T.project_points_np(self.obj_bbox3d[obj_cls].copy(), K, rt=rt)
 
         # SDF samples: per-frame [N,6] = [xyz, sdf_hand, sdf_obj, label] with
-        # hand rows first (tool/pre_process_sdf.py output; data/dexycb.py:514-543)
-        sdf_data = np.load(
-            os.path.join(self.fast_data_dir, f"{self.sample_list[idx]}.npy")
-        )
-        idx_path = os.path.join(
-            self.fast_data_dir, f"{self.sample_list[idx]}_index.npy"
-        )
-        n_hand_avail = int(np.load(idx_path)[0])
+        # hand rows first (tool/pre_process_sdf.py output); counts come from
+        # the global sdf_index rows (data/dexycb.py:514-521)
+        sdf_data = np.load(self.sdf_paths[idx])
+        n_hand_avail = int(self.sdf_counts[idx][0])
         n_total = sdf_data.shape[0]
+        assert n_total == n_hand_avail + int(self.sdf_counts[idx][1])
 
         hand_idx = rng.choice(n_hand_avail, size=cfg.num_samp_hand, replace=False)
         obj_idx = rng.choice(
@@ -254,8 +299,18 @@ class DexYCBDataset:
 
     # ---- augmentation (data/dexycb.py:219-353) --------------------------------
 
+    def _sample_rot(self, rng) -> float:
+        """DexYCB's gated-gaussian 30-degree spin (data/dexycb.py:266-274);
+        HO3D overrides with a uniform +-pi draw."""
+        rot = (
+            np.clip(rng.standard_normal(), -2.0, 2.0) * 30
+            if rng.random() <= 0.6 else 0.0
+        )
+        return rot * self.max_rot / 180
+
     def _aug(self, rng, img, mano_param, joints_uv, K, hand_seg, obj_seg, p2d,
-             sdf_points, joints_3d, p3d, obj_rot, obj_trans):
+             sdf_points, joints_3d, p3d, obj_rot, obj_trans,
+             coord_change_mat=None):
         crop_hand = T.get_bbox_joints(joints_uv, bbox_factor=1.5)
         crop_obj = T.get_bbox_joints(p2d, bbox_factor=1.5)
         center, scale = T.fuse_bbox(crop_hand, crop_obj, img.size)
@@ -266,19 +321,19 @@ class DexYCBDataset:
             1 - self.scale_jittering, 1 + self.scale_jittering,
         )
         scale = scale * scale_jit
-        rot = (
-            np.clip(rng.standard_normal(), -2.0, 2.0) * 30
-            if rng.random() <= 0.6 else 0.0
-        )
-        rot = rot * self.max_rot / 180
+        rot = self._sample_rot(rng)
 
         affinetrans, post_rot_trans, rot_mat = T.get_affine_transform(
             center, scale, [self.inp_res, self.inp_res], rot=rot, K=K
         )
+        if coord_change_mat is None:
+            # HO3D stores the MANO global orient OpenGL-side and folds the
+            # OpenCV flip into the aug spin (data/ho3d.py:324-326)
+            coord_change_mat = self.aug_coord_change_mat
         mano_param = mano_param.copy()
         mano_param[:3] = T.rotation_angle(
             mano_param[:3].astype(np.float64), rot_mat.astype(np.float64),
-            coord_change_mat=np.eye(3),
+            coord_change_mat=coord_change_mat.astype(np.float64),
         )
         joints_uv = T.transform_coords(joints_uv, affinetrans)
         sdf_points = sdf_points.copy()
@@ -292,7 +347,7 @@ class DexYCBDataset:
         K = post_rot_trans @ K
         p2d = T.transform_coords(p2d, affinetrans)
 
-        bbox_hand = T.get_bbox_joints(joints_uv, bbox_factor=1.1)
+        bbox_hand = T.get_bbox_joints(joints_uv, bbox_factor=self.bbox_hand_factor)
         joints_uv = joints_uv / self.inp_res * self.heatmap_res
         bbox_obj = T.get_bbox_joints(p2d, bbox_factor=1.0)
 

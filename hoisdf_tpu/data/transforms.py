@@ -169,6 +169,34 @@ def normalize_joints(joints2d: np.ndarray, bbox: np.ndarray) -> np.ndarray:
     return (joints2d - bbox[0]) / (bbox[1] - bbox[0])
 
 
+def get_bbox21_3d(points: np.ndarray) -> np.ndarray:
+    """Axis-aligned 3D bbox of a vertex cloud expanded to 21 keypoints:
+    8 corners + 12 edge midpoints + center (dataset_util.py:204-272; the
+    reference's per-point stacking order is corners, bottom/top edge centers,
+    then vertical edge centers, then center — reproduced since both builds
+    project these for 2D bbox fitting and the set, not the order, matters).
+    """
+    mn, mx = points.min(0), points.max(0)
+    (x0, y0, z0), (x1, y1, z1) = mn, mx
+    c = lambda x, y, z: np.array([x, y, z], np.float64)
+    corners = [
+        c(x0, y0, z0), c(x1, y0, z0), c(x0, y1, z0), c(x1, y1, z0),
+        c(x0, y0, z1), c(x1, y0, z1), c(x0, y1, z1), c(x1, y1, z1),
+    ]
+    # 12 edge midpoints in the reference's grouping: 4 bottom (z0), 4 top
+    # (z1), 4 vertical (x/y corners)
+    edges = [
+        (corners[0] + corners[2]) / 2, (corners[1] + corners[3]) / 2,
+        (corners[2] + corners[3]) / 2, (corners[0] + corners[1]) / 2,
+        (corners[4] + corners[6]) / 2, (corners[5] + corners[7]) / 2,
+        (corners[6] + corners[7]) / 2, (corners[4] + corners[5]) / 2,
+        (corners[6] + corners[2]) / 2, (corners[4] + corners[0]) / 2,
+        (corners[7] + corners[3]) / 2, (corners[5] + corners[1]) / 2,
+    ]
+    center = (corners[4] + corners[3]) / 2
+    return np.stack(corners + edges + [center]).astype(np.float32)
+
+
 def get_bbox(joint_img: np.ndarray, joint_valid: np.ndarray,
              expansion_factor: float = 1.0) -> np.ndarray:
     """Visibility-aware [x,y,w,h] bbox around 2D joints

@@ -258,6 +258,7 @@ def main():
         load_mano_npz(cfg.mano_model_path) if cfg.mano_model_path
         else make_synthetic_mano(0)
     )
+    mano_left = load_mano_npz(cfg.mano_left_path) if cfg.mano_left_path else None
     mano = ManoBuffers.from_model(mano_model)
     model = build_model(cfg)
 
@@ -320,7 +321,7 @@ def main():
         if cfg.dataset == "dexycb":
             from hoisdf_tpu.data.dexycb import DexYCBDataset
 
-            dataset = DexYCBDataset(cfg, "test", mano_model)
+            dataset = DexYCBDataset(cfg, "test", mano_model, mano_left=mano_left)
         else:
             from hoisdf_tpu.data.ho3d import HO3DDataset
 
@@ -333,12 +334,28 @@ def main():
             num_workers=cfg.num_data_workers, drop_last=True,
         )
 
+        if cfg.dataset == "ho3d":
+            # HO3D obj_cls is a 0-based HO3D_OBJECTS index; the reference maps
+            # the class NAME to its position in the sorted simple-models
+            # listing (common/metrics.py:131-138), so resolve by name.
+            from hoisdf_tpu.data.ho3d import HO3D_OBJECTS
+
+            name_pos = {n: i for i, n in enumerate(obj_names.values())}
+
+            def template_for(c: int) -> np.ndarray:
+                return templates_by_cls[name_pos[HO3D_OBJECTS[int(c)]]]
+        else:
+            # DexYCB obj_cls is the 1-based YCB id; template list is the
+            # sorted 21-class listing (common/metrics.py:146)
+            def template_for(c: int) -> np.ndarray:
+                return templates_by_cls[int(c) - 1]
+
         def batches():
             for b in loader:
                 inputs = {k: v for k, v in b.items() if not k.startswith("target_")}
                 targets = {k[7:]: v for k, v in b.items() if k.startswith("target_")}
                 templates = np.stack(
-                    [templates_by_cls[int(c) - 1] for c in inputs["obj_cls"]]
+                    [template_for(c) for c in inputs["obj_cls"]]
                 )
                 yield inputs, targets, templates
 

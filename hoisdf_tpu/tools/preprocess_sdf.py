@@ -6,11 +6,14 @@ cross-SDF column layout ([x,y,z,sdf_hand,sdf_obj]), optional |sdf|<dist
 filtering, part-label clamping, then the per-frame normalized-unit ->
 camera-space transform via the norm npz's scale/offset.
 
-Output layout (consumed by the datasets): per frame ``{key}.npy`` of shape
-[N,6] float32 = [xyz(cam), sdf_hand, sdf_obj, part_label] with hand rows
-first, plus ``{key}_index.npy`` = [hand_count, obj_count].  (The reference
-writes one global sdf_index.npy instead; per-frame index files avoid the
-whole-split preload, see data/dexycb.py notes.)
+Output layout (the reference's, consumed by the datasets): per frame
+``{out}/sdf_processed/{key}.npy`` of shape [N,6] float32 = [xyz(cam),
+sdf_hand, sdf_obj, part_label] with hand rows first, plus ONE global
+``{out}/sdf_index.npy`` of (hand_count, obj_count) rows aligned with the
+sorted key listing (tool/pre_process_sdf.py:95-148).  ``--index-dict``
+writes the index as a pickled {key: (hand, obj)} dict instead — the form
+the HO3D train loader reads from ``full/sdf_index.npy``
+(data/ho3d.py:104-107).
 """
 
 from __future__ import annotations
@@ -86,12 +89,9 @@ def process_frame(
     hand = np.concatenate([hand_s, hand_l[:, None]], axis=1)
     obj = np.concatenate([obj_s, obj_l[:, None]], axis=1)
     data = np.concatenate([hand, obj], axis=0).astype(np.float32)
-    os.makedirs(out_dir, exist_ok=True)
-    np.save(os.path.join(out_dir, key + ".npy"), data)
-    np.save(
-        os.path.join(out_dir, key + "_index.npy"),
-        np.asarray([hand.shape[0], obj.shape[0]]),
-    )
+    proc_dir = os.path.join(out_dir, "sdf_processed")
+    os.makedirs(proc_dir, exist_ok=True)
+    np.save(os.path.join(proc_dir, key + ".npy"), data)
     return hand.shape[0], obj.shape[0]
 
 
@@ -116,16 +116,27 @@ def main():
     p.add_argument("out_dir")
     p.add_argument("--clamp", type=float, default=0.05)
     p.add_argument("--dist", type=float, default=2.0)
+    p.add_argument(
+        "--index-dict", action="store_true",
+        help="write sdf_index.npy as a pickled {key: (hand, obj)} dict "
+             "(the HO3D full/ form) instead of the positional array",
+    )
     args = p.parse_args()
     keys = sorted(
         os.path.splitext(f)[0]
         for f in os.listdir(os.path.join(args.sdf_dir, "sdf_hand"))
         if f.endswith(".npz")
     )
+    index = {}
     for key in keys:
-        h, o = process_frame(
+        index[key] = process_frame(
             args.sdf_dir, key, args.out_dir, clamp=args.clamp, dist=args.dist
         )
+    index_path = os.path.join(args.out_dir, "sdf_index.npy")
+    if args.index_dict:
+        np.save(index_path, {k: np.asarray(v) for k, v in index.items()})
+    else:
+        np.save(index_path, np.asarray([index[k] for k in keys]))
     print(f"processed {len(keys)} frames -> {args.out_dir}")
 
 

@@ -179,6 +179,7 @@ def main():
         load_mano_npz(cfg.mano_model_path) if cfg.mano_model_path
         else make_synthetic_mano(0)
     )
+    mano_left = load_mano_npz(cfg.mano_left_path) if cfg.mano_left_path else None
     mano = ManoBuffers.from_model(mano_model)
     model = build_model(cfg)
 
@@ -194,7 +195,7 @@ def main():
         if cfg.dataset == "dexycb":
             from hoisdf_tpu.data.dexycb import DexYCBDataset
 
-            dataset = DexYCBDataset(cfg, "train", mano_model, seed=cfg.seed)
+            dataset = DexYCBDataset(cfg, "train", mano_model, mano_left=mano_left, seed=cfg.seed)
         else:
             from hoisdf_tpu.data.ho3d import HO3DDataset
 
@@ -332,7 +333,7 @@ def main():
                     from hoisdf_tpu.data.meshes import load_object_library
                     from hoisdf_tpu.data.dexycb import YCB_CLASSES
 
-                    eval_ds = DexYCBDataset(cfg, "test", mano_model, seed=cfg.seed)
+                    eval_ds = DexYCBDataset(cfg, "test", mano_model, mano_left=mano_left, seed=cfg.seed)
                     eval_loader = DataLoader(
                         eval_ds, cfg.eval_batch_size, shuffle=False,
                         num_workers=cfg.num_data_workers, drop_last=True,

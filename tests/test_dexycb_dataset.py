@@ -17,24 +17,30 @@ from hoisdf_tpu.mano.model import make_synthetic_mano
 
 @pytest.fixture(scope="module")
 def fixture_dirs(tmp_path_factory):
-    root = tmp_path_factory.mktemp("dexycb")
-    ann_dir = root / "ann"
-    img_dir = root / "img"
-    sdf_dir = root / "sdf"
-    for d in (ann_dir, img_dir, sdf_dir):
+    """Mirrors the reference's real DexYCB asset layout
+    (data/dexycb.py:122-217): dex_ycb_s0_{split}_data.json annotation dumps,
+    label npz files under the DexYCB root, one global sdf_index.npy per SDF
+    split dir, models/{name}/points.xyz clouds."""
+    base = tmp_path_factory.mktemp("dexycb")
+    root = base / "dexycb_root"  # the reference's cfg.dexycb_data_dir
+    ann_dir = base / "ann"
+    img_dir = base / "img"
+    sdf_root = base / "sdf"
+    for d in (root / "labels", ann_dir, img_dir):
         os.makedirs(d, exist_ok=True)
     rng = np.random.RandomState(0)
 
-    samples = {}
     for split in ("train", "test"):
-        seg_dir = ann_dir / f"segs_{split}"
-        os.makedirs(seg_dir, exist_ok=True)
+        sdf_dir = sdf_root / f"full_{split}" / "sdf_processed"
+        os.makedirs(sdf_dir, exist_ok=True)
+        samples = {}
+        names, rows = [], {}
         for i in range(3):
-            key = f"{split}_sample_{i:04d}"
-            img = Image.fromarray(
+            key = f"idx{i}"  # sorted numerically by int(key[3:])
+            color_file = f"{split}_{key}.png"
+            Image.fromarray(
                 rng.randint(0, 255, (480, 640, 3), dtype=np.uint8)
-            )
-            img.save(img_dir / f"{key}.png")
+            ).save(img_dir / color_file)
             # joints roughly centred, in front of the camera
             j3d = rng.randn(21, 3) * 0.03 + np.array([0, 0, 0.6])
             K = dict(fx=600.0, fy=600.0, ppx=320.0, ppy=240.0)
@@ -43,8 +49,10 @@ def fixture_dirs(tmp_path_factory):
             pose_y = np.concatenate(
                 [np.eye(3), np.array([[0.02], [0.0], [0.62]])], axis=1
             )
+            label_file = f"labels/{split}_{key}_label.npz"
             samples[key] = {
-                "color_file": f"{key}.png",
+                "color_file": color_file,
+                "label_file": label_file,
                 "intrinsics": K,
                 "pose_m": (rng.randn(51) * 0.1).tolist(),
                 "mano_betas": (rng.randn(10) * 0.1).tolist(),
@@ -55,13 +63,11 @@ def fixture_dirs(tmp_path_factory):
                 "ycb_ids": [5],
                 "ycb_grasp_ind": 0,
             }
-            # packbit seg masks
-            hand = (rng.rand(480, 640) > 0.9).astype(np.uint8)
-            obj = (rng.rand(480, 640) > 0.9).astype(np.uint8)
-            np.savez(
-                seg_dir / f"{key}.npz",
-                hand=np.packbits(hand), obj=np.packbits(obj),
-            )
+            # label npz: hand pixels 255, object pixels its ycb id
+            seg = np.zeros((480, 640), np.uint8)
+            seg[rng.rand(480, 640) > 0.95] = 255
+            seg[rng.rand(480, 640) > 0.95] = 5
+            np.savez(root / label_file, seg=seg)
             # SDF samples: 300 hand rows then 200 obj rows
             n_h, n_o = 300, 200
             pts = rng.randn(n_h + n_o, 3) * 0.05 + np.array([0, 0, 0.6])
@@ -72,28 +78,34 @@ def fixture_dirs(tmp_path_factory):
                 [pts, sdf_h[:, None], sdf_o[:, None], lab[:, None]], axis=1
             ).astype(np.float32)
             np.save(sdf_dir / f"{key}.npy", data)
-            np.save(sdf_dir / f"{key}_index.npy", np.array([n_h, n_o]))
-        with open(ann_dir / f"dexycb_{split}_annotations.json", "w") as f:
-            json.dump({k: v for k, v in samples.items() if k.startswith(split)}, f)
+            names.append(key)
+            rows[key] = (n_h, n_o)
+        # ONE global index aligned with the sorted listing (dexycb.py:149-160)
+        np.save(
+            sdf_root / f"full_{split}" / "sdf_index.npy",
+            np.asarray([rows[n] for n in sorted(names)]),
+        )
+        with open(ann_dir / f"dex_ycb_s0_{split}_data.json", "w") as f:
+            json.dump(samples, f)
 
-    # object bbox template (.xyz point cloud for class 5)
+    # object bbox template (.xyz point cloud for class 5, {root}/models)
     obj_dir = root / "models" / "006_mustard_bottle"
     os.makedirs(obj_dir, exist_ok=True)
     np.savetxt(obj_dir / "points.xyz", rng.rand(50, 3) * 0.1)
-    return str(ann_dir), str(img_dir), str(sdf_dir), str(root / "models")
+    return str(ann_dir), str(img_dir), str(sdf_root), str(root)
 
 
 def _make_cfg(fixture_dirs, **over):
-    ann, img, sdf, models = fixture_dirs
-    return get_config(
-        "dexycb",
+    ann, img, sdf, root = fixture_dirs
+    kw = dict(
         annotation_dir=ann, image_fast_path=img, fast_data_dir=sdf,
-        object_models_dir=models,
+        data_dir=root,
         num_samp_hand=64, num_samp_obj=32, points_filter_dist=1.0,
         input_img_shape=(64, 64), output_hm_shape=(32, 32, 32),
         small_dexycb=False,
-        **over,
     )
+    kw.update(over)
+    return get_config("dexycb", **kw)
 
 
 def test_train_getitem_contract(fixture_dirs):
@@ -119,6 +131,77 @@ def test_left_hand_flip_sample(fixture_dirs):
     ds = DexYCBDataset(cfg, "train", make_synthetic_mano(0))
     s = ds.__getitem__(2, epoch=0)  # mano_side == left
     assert np.isfinite(s["target_mano_param"]).all()
+
+
+def test_left_hand_uses_left_pca_basis(fixture_dirs):
+    """A flipped sample must convert its PCA pose with the LEFT-hand basis
+    (data/dexycb.py:99-110,449-459), then mirror the axis-angles."""
+    mano_r = make_synthetic_mano(0)
+    mano_l = make_synthetic_mano(7, side="left")
+    cfg = _make_cfg(fixture_dirs)
+    ds = DexYCBDataset(cfg, "train", mano_r, mano_left=mano_l)
+    assert ds.has_left_basis
+    s = ds.__getitem__(2, epoch=0)  # mano_side == left
+
+    info = ds.sample_dict[ds.sample_list[2]]
+    pose_pca = np.asarray(info["pose_m"], np.float32).reshape(-1)
+    # articulation slice passes through the aug untouched (only the global
+    # orient is rotated), so it must equal the left-basis conversion + mean
+    # with the y/z mirror applied
+    art = (pose_pca[3:48] @ mano_l.hands_components).reshape(15, 3)
+    art[:, 1:] *= -1
+    expect = art.reshape(-1) + mano_r.hands_mean
+    np.testing.assert_allclose(s["target_mano_param"][3:48], expect, atol=1e-5)
+
+    # with the right-hand fallback the articulation would differ
+    ds_r = DexYCBDataset(cfg, "train", mano_r)
+    s_r = ds_r.__getitem__(2, epoch=0)
+    assert not np.allclose(s_r["target_mano_param"][3:48], expect, atol=1e-5)
+
+
+def test_small_dexycb_cut_layout(fixture_dirs, tmp_path):
+    """small_dexycb pairs the _cut jsons with the {train,test} SDF dirs and
+    mangles color_file stems into SDF dump names (data/dexycb.py:122-148,
+    195-202)."""
+    ann, img, sdf, root = fixture_dirs
+    rng = np.random.RandomState(1)
+    # real-format color_file whose mangled stem names the SDF dump
+    color_file = "20200709-subject-01/20200709_141754/932122060861/color_000072.jpg"
+    mangled = color_file.split("-")[-1].split(".")[0].replace("/", "_")
+    mangled = mangled[:-12] + mangled[-2:]
+    assert mangled == "01_20200709_141754_932122060861_72"
+
+    ann2 = tmp_path / "ann"
+    img2 = tmp_path / "img"
+    sdf2 = tmp_path / "sdf" / "test" / "sdf_processed"
+    os.makedirs(ann2), os.makedirs(sdf2)
+    os.makedirs(img2 / os.path.dirname(color_file))
+    Image.fromarray(
+        rng.randint(0, 255, (480, 640, 3), dtype=np.uint8)
+    ).save(img2 / color_file)
+    with open(ann2 / "dex_ycb_s0_test_data_cut.json", "w") as f:
+        base = json.load(open(os.path.join(ann, "dex_ycb_s0_test_data.json")))
+        row = dict(base["idx0"], color_file=color_file)
+        json.dump({"idx0": row}, f)
+    n_h, n_o = 120, 80
+    data = np.concatenate(
+        [rng.randn(n_h + n_o, 3) * 0.05 + np.array([0, 0, 0.6]),
+         rng.randn(n_h + n_o, 2) * 0.02, rng.randint(0, 6, (n_h + n_o, 1))],
+        axis=1,
+    ).astype(np.float32)
+    np.save(sdf2 / f"{mangled}.npy", data)
+    np.save(tmp_path / "sdf" / "test" / "sdf_index.npy", np.array([[n_h, n_o]]))
+
+    cfg = _make_cfg(
+        fixture_dirs, annotation_dir=str(ann2), image_fast_path=str(img2),
+        fast_data_dir=str(tmp_path / "sdf"), small_dexycb=True,
+    )
+    ds = DexYCBDataset(cfg, "test", make_synthetic_mano(0))
+    assert len(ds) == 1
+    assert ds.sdf_paths[0].endswith(f"{mangled}.npy")
+    s = ds.__getitem__(0, epoch=0)
+    assert s["img"].shape == (64, 64, 3)
+    assert s["hand_sdf_points"].shape == (64, 3)
 
 
 def test_eval_getitem_deterministic(fixture_dirs):
@@ -157,14 +240,14 @@ def test_train_loop_real_path_end_to_end(fixture_dirs, tmp_path, monkeypatch):
 
     from hoisdf_tpu import train_loop
 
-    ann, img, sdf, models = fixture_dirs
+    ann, img, sdf, root = fixture_dirs
     argv = [
         "train_loop", "--setting", "dexycb", "--run_dir_name", "realrun",
         "--end_epoch", "1", "--cpu",
         "--cfg", f"annotation_dir={ann}",
         "--cfg", f"image_fast_path={img}",
         "--cfg", f"fast_data_dir={sdf}",
-        "--cfg", f"object_models_dir={models}",
+        "--cfg", f"data_dir={root}",
         "--cfg", f"output_dir={tmp_path}",
         "--cfg", "num_samp_hand=16", "--cfg", "num_samp_obj=8",
         "--cfg", 'input_img_shape=[64, 64]',

@@ -1,78 +1,139 @@
-"""HO3DDataset end-to-end on a synthetic on-disk fixture: train (full labels,
-OpenGL->OpenCV conversion, seg channels, SDF draws, shared aug) and eval
-(bbox+K+root only)."""
+"""HO3DDataset end-to-end on an on-disk fixture that mirrors the reference's
+REAL asset layout (data/ho3d.py:85-268,591-653): ho3d_train_data.json list,
+per-frame meta .pkl, png rgb, jpg seg composites, a global pickled
+full/sdf_index.npy dict, object points.xyz clouds — so a layout drift from
+the reference loaders fails here, not on the first real asset drop."""
 
 import json
 import os
+import pickle
 
 import numpy as np
 import pytest
 from PIL import Image
 
 from hoisdf_tpu.config import get_config
-from hoisdf_tpu.data.ho3d import HO3DDataset, convert_pose_to_opencv, COORD_CHANGE_MAT
+from hoisdf_tpu.data.ho3d import (
+    COORD_CHANGE_MAT,
+    HO3D_OBJECTS,
+    HO3DDataset,
+    convert_pose_to_opencv,
+)
 from hoisdf_tpu.data import transforms as T
 from hoisdf_tpu.mano.model import make_synthetic_mano
+
+OBJ_NAME = "006_mustard_bottle"
+
+
+def _make_sdf(rng, sdf_dir, name, n_h=200, n_o=150):
+    pts = rng.randn(n_h + n_o, 3) * 0.05 + np.array([0, 0, 0.6])
+    data = np.concatenate(
+        [pts, rng.randn(n_h + n_o, 2) * 0.02,
+         rng.randint(0, 6, (n_h + n_o, 1))], axis=1,
+    ).astype(np.float32)
+    np.save(os.path.join(sdf_dir, f"{name}.npy"), data)
+    return n_h, n_o
 
 
 @pytest.fixture(scope="module")
 def ho3d_root(tmp_path_factory):
-    root = tmp_path_factory.mktemp("ho3d")
+    """Builds {root} (HO3D_v2), {fast} (SDF dumps), {ann} (annotation json),
+    {models} (YCB points.xyz) in the reference's exact layout."""
+    base = tmp_path_factory.mktemp("ho3d")
+    root, fast, ann, models = (
+        base / "HO3D_v2", base / "fast", base / "ann", base / "models"
+    )
     rng = np.random.RandomState(0)
-    sdf_dir = root / "sdf"
-    os.makedirs(sdf_dir)
-    for split, frames in (("train", 2), ("evaluation", 2)):
-        seq = "ABF10"
-        for d in ("rgb", "meta", "seg"):
-            os.makedirs(root / split / seq / d, exist_ok=True)
-        keys = []
-        for i in range(frames):
-            frame = f"{i:04d}"
-            keys.append(f"{seq}/{frame}")
-            Image.fromarray(
-                rng.randint(0, 255, (480, 640, 3), dtype=np.uint8)
-            ).save(root / split / seq / "rgb" / f"{frame}.jpg")
-            # seg composite: hand in R channel, object in B channel
-            seg = np.zeros((480, 640, 3), np.uint8)
-            seg[100:200, 200:300, 0] = 200
-            seg[150:250, 250:350, 2] = 200
-            Image.fromarray(seg).save(root / split / seq / "seg" / f"{frame}.jpg")
+    K = np.array([[600.0, 0, 320], [0, 600, 240], [0, 0, 1]])
 
-            # OpenGL-convention labels (y/z flipped vs OpenCV)
-            j3d_gl = rng.randn(21, 3) * 0.03 + np.array([0, 0, -0.6])
-            corners_gl = rng.randn(8, 3) * 0.05 + np.array([0.02, 0, -0.62])
-            meta = {
-                "camMat": [[600.0, 0, 320], [0, 600, 240], [0, 0, 1]],
-                "handJoints3D": j3d_gl.tolist(),
-                "handPose": (rng.randn(48) * 0.1).tolist(),
-                "handBeta": (rng.randn(10) * 0.1).tolist(),
-                "objRot": (rng.randn(3) * 0.3).tolist(),
-                "objTrans": [0.02, 0.0, -0.62],
-                "objCorners3D": corners_gl.tolist(),
-                "objCorners3DRest": (rng.randn(8, 3) * 0.05).tolist(),
-                "objName": "006_mustard_bottle",
-                "handBoundingBox": [250.0, 180.0, 400.0, 330.0],
+    # object model clouds ({models}/{name}/points.xyz, ho3d_util.py:66-86)
+    for name in HO3D_OBJECTS:
+        os.makedirs(models / name)
+        np.savetxt(models / name / "points.xyz", rng.randn(50, 3) * 0.04)
+
+    # ---- train split ----
+    seq = "ABF10"
+    for d in ("rgb", "meta", "seg"):
+        os.makedirs(root / "train" / seq / d)
+    os.makedirs(fast / "train" / "sdf_processed")
+    os.makedirs(fast / "full")
+    train_rows, sdf_index = [], {}
+    for i in range(2):
+        frame = f"{i:04d}"
+        flat = f"{seq}_{frame}"
+        Image.fromarray(
+            rng.randint(0, 255, (480, 640, 3), dtype=np.uint8)
+        ).save(root / "train" / seq / "rgb" / f"{frame}.png")
+        # seg composite jpg: saturated channels survive JPEG + >200 threshold
+        seg = np.zeros((480, 640, 3), np.uint8)
+        seg[100:200, 200:300, 0] = 255
+        seg[150:250, 250:350, 2] = 255
+        Image.fromarray(seg).save(
+            root / "train" / seq / "seg" / f"{frame}.jpg", quality=95
+        )
+        # meta pkl: OpenGL-convention object pose + class name
+        with open(root / "train" / seq / "meta" / f"{frame}.pkl", "wb") as f:
+            pickle.dump(
+                {
+                    "objRot": (rng.randn(3, 1) * 0.3),
+                    "objTrans": np.array([0.02, 0.0, -0.62]),
+                    "objName": OBJ_NAME,
+                },
+                f,
+            )
+        n_h, n_o = _make_sdf(rng, str(fast / "train" / "sdf_processed"), flat)
+        sdf_index[flat] = np.array([n_h, n_o])
+        # annotation row: OpenCV-space joints + precomputed obj keypoints
+        j3d = rng.randn(21, 3) * 0.03 + np.array([0, 0, 0.6])
+        p3d = rng.randn(21, 3) * 0.05 + np.array([0.02, 0, 0.62])
+        _, p2d = T.project_points_np(p3d.astype(np.float32), K)
+        train_rows.append(
+            {
+                "seqName_id": f"{seq}/{frame}",
+                "K": K.tolist(),
+                "joints_3d": j3d.tolist(),
+                "mano_params": (rng.randn(58) * 0.1).tolist(),
+                "obj_p3ds": p3d.tolist(),
+                "obj_p2ds": p2d.tolist(),
             }
-            with open(root / split / seq / "meta" / f"{frame}.json", "w") as f:
-                json.dump(meta, f)
-            # SDF samples (camera space OpenCV)
-            n_h, n_o = 200, 150
-            pts = rng.randn(n_h + n_o, 3) * 0.05 + np.array([0, 0, 0.6])
-            data = np.concatenate(
-                [pts, rng.randn(n_h + n_o, 2) * 0.02,
-                 rng.randint(0, 6, (n_h + n_o, 1))], axis=1,
-            ).astype(np.float32)
-            np.save(sdf_dir / f"{seq}_{frame}.npy", data)
-            np.save(sdf_dir / f"{seq}_{frame}_index.npy", np.array([n_h, n_o]))
-        with open(root / f"{split}.txt", "w") as f:
-            f.write("\n".join(keys) + "\n")
+        )
+    # one row whose SDF dump is missing -> must be skipped (ho3d.py:130-138)
+    train_rows.append({**train_rows[0], "seqName_id": f"{seq}/9999"})
+    os.makedirs(ann)
+    with open(ann / "ho3d_train_data.json", "w") as f:
+        json.dump(train_rows, f)
+    np.save(fast / "full" / "sdf_index.npy", sdf_index)
 
-    # rendered-data extension layout (reference data/ho3d.py:195-263):
-    # <sdf>/render/{rgb,anno,seg,sdf_processed} + global sdf_index.npy
-    rdir = sdf_dir / "render"
+    # ---- evaluation split ----
+    for d in ("rgb", "meta"):
+        os.makedirs(root / "evaluation" / seq / d)
+    keys = []
+    for i in range(2):
+        frame = f"{i:04d}"
+        keys.append(f"{seq}/{frame}")
+        Image.fromarray(
+            rng.randint(0, 255, (480, 640, 3), dtype=np.uint8)
+        ).save(root / "evaluation" / seq / "rgb" / f"{frame}.png")
+        with open(root / "evaluation" / seq / "meta" / f"{frame}.pkl", "wb") as f:
+            pickle.dump(
+                {
+                    "camMat": K,
+                    "objRot": (rng.randn(3, 1) * 0.3),
+                    "objTrans": np.array([0.02, 0.0, -0.62]),
+                    "objName": OBJ_NAME if i == 0 else "019_pitcher_base",
+                    "handJoints3D": np.array([0.0, 0.01, -0.6]),
+                    "handBoundingBox": np.array([250.0, 180.0, 400.0, 330.0]),
+                },
+                f,
+            )
+    with open(root / "evaluation.txt", "w") as f:
+        f.write("\n".join(keys) + "\n")
+
+    # ---- rendered-data extension ({fast}/render, ho3d.py:195-263) ----
+    rdir = fast / "render"
     for d in ("rgb", "anno", "seg", "sdf_processed"):
-        os.makedirs(rdir / d, exist_ok=True)
-    hand_counts = []
+        os.makedirs(rdir / d)
+    counts = []
     for i in range(2):
         fname = f"r{i:04d}"
         Image.fromarray(
@@ -87,32 +148,26 @@ def ho3d_root(tmp_path_factory):
         rot_aa = rng.randn(3) * 0.3
         rot_mat = T.rodrigues_np(rot_aa.astype(np.float64)).astype(np.float32)
         anno = {
-            "camMat": [[600.0, 0, 320], [0, 600, 240], [0, 0, 1]],
+            "camMat": K.tolist(),
             "handJoints3D": j3d.tolist(),
             "objRot": rot_mat.tolist(),
             "objTrans": [0.02, 0.0, 0.62],
-            "objCorners3DRest": (rng.randn(8, 3) * 0.05).tolist(),
             "objName": "019_pitcher_base",
         }
         with open(rdir / "anno" / f"{fname}.json", "w") as f:
             json.dump(anno, f)
-        n_h, n_o = 180, 140
-        pts = rng.randn(n_h + n_o, 3) * 0.05 + np.array([0, 0, 0.6])
-        data = np.concatenate(
-            [pts, rng.randn(n_h + n_o, 2) * 0.02,
-             rng.randint(0, 6, (n_h + n_o, 1))], axis=1,
-        ).astype(np.float32)
-        np.save(rdir / "sdf_processed" / f"{fname}.npy", data)
-        hand_counts.append(n_h)
-    np.save(rdir / "sdf_index.npy", np.asarray(hand_counts))
-    return str(root), str(sdf_dir)
+        n_h, n_o = _make_sdf(rng, str(rdir / "sdf_processed"), fname, 180, 140)
+        counts.append((n_h, n_o))
+    np.save(rdir / "sdf_index.npy", np.asarray(counts))
+    return str(root), str(fast), str(ann), str(models)
 
 
 def _cfg(ho3d_root, setting="ho3d", **over):
-    root, sdf = ho3d_root
+    root, fast, ann, models = ho3d_root
     over.setdefault("add_render", False)
     return get_config(
-        setting, data_dir=root, fast_data_dir=sdf,
+        setting, data_dir=root, fast_data_dir=fast, annotation_dir=ann,
+        object_models_dir=models,
         num_samp_hand=48, num_samp_obj=24, points_filter_dist=1.0,
         input_img_shape=(64, 64), output_hm_shape=(32, 32, 32),
         use_big_decoder=False,
@@ -137,16 +192,19 @@ def test_coord_change_roundtrip():
 def test_ho3d_train_getitem(ho3d_root):
     cfg = _cfg(ho3d_root)
     ds = HO3DDataset(cfg, "train", make_synthetic_mano(0))
-    assert len(ds) == 2
+    assert len(ds) == 2  # the missing-SDF row is skipped
     s = ds.__getitem__(0, epoch=0)
     assert s["img"].shape == (64, 64, 3)
     assert s["hand_sdf_points"].shape == (48, 3)
     assert s["target_mano_param"].shape == (58,)
     assert s["target_hand_seg"].shape == (32, 32)
-    # converted joints must sit in front of the OpenCV camera (z > 0)
-    # (fixture places them at z=-0.6 in OpenGL convention)
+    assert int(s["obj_cls"]) == HO3D_OBJECTS.index(OBJ_NAME)
     assert np.isfinite(s["target_joint_cam_no_trans"]).all()
     np.testing.assert_allclose(s["target_joint_cam_no_trans"][0], 0, atol=1e-4)
+    # the aug must fold the OpenGL->OpenCV flip into the MANO global orient
+    # (data/ho3d.py:324-326): with a fixed aug draw the recovered rotation
+    # equals spin @ coord_change @ R(json orient)
+    assert s["target_obj_rot"].shape == (3,)
 
 
 def test_ho3d_render_getitem(ho3d_root):
@@ -213,6 +271,22 @@ def test_ho3d_eval_getitem(ho3d_root):
     s = ds.__getitem__(0, epoch=0)
     assert s["img"].shape == (64, 64, 3)
     assert s["bbox_hand"].shape == (4,)
-    assert "target_mano_param" not in s  # eval split has no labels
+    assert "target_mano_param" not in s  # eval split has no hand labels
+    # but it DOES carry the object-pose targets feeding ADD-S/MME
+    # (data/ho3d.py:625-640, main/test.py:131-137)
+    assert s["target_obj_rot"].shape == (3,)
+    assert s["target_rel_obj_trans"].shape == (3,)
+    assert np.isfinite(s["target_rel_obj_trans"]).all()
     # object center uses the dataset-mean depth (main/config.py:73)
     assert abs(s["obj_center_cam"][2] - cfg.obj_depth_mean_value) < 1e-5
+    # root joint converted to OpenCV (in front of the camera)
+    assert s["mano_root"][2] > 0
+    # rel_obj_trans = OpenCV obj_trans - obj_center_cam (ho3d.py:627)
+    np.testing.assert_allclose(
+        s["target_rel_obj_trans"] + s["obj_center_cam"],
+        COORD_CHANGE_MAT @ np.array([0.02, 0.0, -0.62], np.float32),
+        atol=1e-5,
+    )
+    # pitcher_base sample is flagged invalid for object metrics
+    s1 = ds.__getitem__(1, epoch=0)
+    assert bool(s["obj_valid"]) and not bool(s1["obj_valid"])

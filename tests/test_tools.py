@@ -63,10 +63,9 @@ def test_process_frame_camera_space(tmp_path):
     key = _make_alignsdf_fixture(str(tmp_path))
     out = str(tmp_path / "out")
     h, o = process_frame(str(tmp_path), key, out, filter_dist=False)
-    data = np.load(os.path.join(out, key + ".npy"))
-    idx = np.load(os.path.join(out, key + "_index.npy"))
+    # reference layout: {out}/sdf_processed/{key}.npy (pre_process_sdf.py:141)
+    data = np.load(os.path.join(out, "sdf_processed", key + ".npy"))
     assert data.shape == (h + o, 6)
-    assert list(idx) == [h, o]
     # camera-space transform: xyz/scale - offset applied
     raw, _ = unpack_sdf_samples(str(tmp_path), key, hand=True)
     np.testing.assert_allclose(
