@@ -39,8 +39,14 @@ def _log(msg: str) -> None:
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
-def _read_baseline() -> float | None:
-    """First green recorded round (driver artifact or raw bench JSON)."""
+def _read_baseline(metric: str, mode: str) -> float | None:
+    """Anchor for ``vs_baseline``: the FIRST-EVER green recorded round whose
+    metric name AND dispatch mode match this run, so the ratio keeps showing
+    progress across rounds (it previously re-anchored on the latest green
+    round, freezing at 1.0) and never mixes measurement methodologies
+    (ADVICE r2: pipelined vs per-step-blocking numbers are not comparable).
+    Rounds recorded before the mode field existed were measured pipelined.
+    """
 
     def round_num(path: str) -> int:
         import re
@@ -58,12 +64,68 @@ def _read_baseline() -> float | None:
         except Exception:
             continue
         parsed = doc.get("parsed") if isinstance(doc, dict) else None
-        val = (parsed or {}).get("value") if isinstance(parsed, dict) else None
-        if val is None and isinstance(doc, dict):
-            val = doc.get("value")
+        entry = parsed if isinstance(parsed, dict) else (
+            doc if isinstance(doc, dict) else None
+        )
+        if not isinstance(entry, dict):
+            continue
+        if entry.get("metric") not in (None, metric):
+            continue
+        if entry.get("mode", "pipelined") != mode:
+            continue
+        val = entry.get("value")
         if isinstance(val, (int, float)) and val > 0:
             return float(val)
     return None
+
+
+# bf16 peak FLOP/s by device kind, for the MFU denominator.
+_PEAK_FLOPS = {
+    "v4": 275e12,
+    "v5 lite": 197e12,
+    "v5e": 197e12,
+    "v5p": 459e12,
+    "v5": 459e12,
+    "v6e": 918e12,
+    "v6 lite": 918e12,
+}
+
+
+def _peak_flops(device_kind: str) -> float | None:
+    kind = device_kind.lower()
+    for key in sorted(_PEAK_FLOPS, key=len, reverse=True):
+        if key in kind:
+            return _PEAK_FLOPS[key]
+    return None
+
+
+def _flops_per_frame(cfg, model, mano, variables, batch) -> float | None:
+    """XLA cost analysis of the compiled eval step -> FLOPs per frame (the
+    denominator for MFU).  Compiles ride the persistent cache, so this is
+    cheap after the timed attempt.  Returns None if analysis is unavailable
+    (e.g. the in-process client was poisoned by a TPU fault)."""
+    try:
+        import jax
+        import jax.numpy as jnp
+
+        from hoisdf_tpu.data.synthetic import synthetic_batch, split_inputs_targets
+        from hoisdf_tpu.train import make_eval_step
+
+        eval_step = make_eval_step(cfg, model, mano)
+        batch_np = synthetic_batch(cfg, batch_size=batch, train=False)
+        inputs, _ = split_inputs_targets(batch_np)
+        inputs = {k: jnp.asarray(v) for k, v in inputs.items()}
+        compiled = eval_step.lower(
+            variables["params"], variables.get("batch_stats", {}), inputs
+        ).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        return flops / batch if flops > 0 else None
+    except Exception as exc:  # noqa: BLE001
+        _log(f"cost analysis unavailable: {type(exc).__name__}: {str(exc)[:200]}")
+        return None
 
 
 def _init_params_on_cpu(cfg, model, batch_np_train):
@@ -286,7 +348,10 @@ def main() -> None:
                 _log(f"attempt batch={batch} FAILED: {type(exc).__name__}: "
                      f"{str(exc)[:500]}")
                 traceback.print_exc(file=sys.stderr)
-                if args.no_retry:
+                if args.no_retry or args.cpu:
+                    # CPU smoke mode never walks the subprocess ladder — a
+                    # fresh-process retry would otherwise run on the default
+                    # (TPU) backend and misreport the requested CPU run
                     break
                 # A faulted client cannot recover in-process; retry THIS batch
                 # and any remaining ladder entries in fresh subprocesses after
@@ -314,21 +379,53 @@ def main() -> None:
 
     _log(f"final: batch {used_batch}, p50 per-frame latency {p50:.2f} ms")
 
-    baseline = _read_baseline()
+    # CPU smoke runs use a tiny config — a distinct metric name keeps them
+    # from ever anchoring (or comparing against) real-chip rounds.
+    metric = f"{args.setting}_eval_inference_throughput" + (
+        "_cpu_smoke" if args.cpu else ""
+    )
+    mode = "pipelined"
+    baseline = _read_baseline(metric, mode)
     vs = fps / baseline if baseline else 1.0
+
+    # MFU accounting: FLOPs/frame from XLA cost analysis, peak from the
+    # device kind (bf16 table); skipped when the number came from a
+    # fresh-process rescue (the in-process client is fault-poisoned then).
+    flops_frame = (
+        _flops_per_frame(cfg, model, mano, variables, used_batch)
+        if in_process_ok else None
+    )
+    device_kind = jax.devices()[0].device_kind
+    peak = _peak_flops(device_kind)
+    achieved = flops_frame * fps if flops_frame else None
+    mfu = achieved / peak if (achieved and peak) else None
+    if achieved:
+        _log(
+            f"{flops_frame / 1e9:.2f} GFLOP/frame -> "
+            f"{achieved / 1e12:.3f} TFLOP/s achieved"
+            + (f", MFU {mfu * 100:.2f}% of {device_kind}" if mfu else "")
+        )
 
     print(
         json.dumps(
             {
-                "metric": f"{args.setting}_eval_inference_throughput",
+                "metric": metric,
                 "value": round(fps, 3),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(vs, 3),
+                # dispatch methodology — vs_baseline only compares same-mode
+                # rounds (the latency ladder stays per-step blocking)
+                "mode": mode,
                 # ladder fallback can shrink the batch — record it so a
                 # reduced-batch number is never mistaken for the standard
                 # batch-22 metric
                 "batch": used_batch,
                 "p50_ms_per_frame": round(p50, 3),
+                "gflop_per_frame": (
+                    round(flops_frame / 1e9, 3) if flops_frame else None
+                ),
+                "mfu": round(mfu, 5) if mfu else None,
+                "device": device_kind,
             }
         )
     )

@@ -279,12 +279,26 @@ def main():
                     logger.error(
                         f"non-finite loss at epoch {epoch} itr {itr}: {crash}"
                     )
+                    # NOTE: saved AFTER apply_gradients, so params/opt_state
+                    # are typically already NaN-contaminated — this snapshot
+                    # is DIAGNOSTIC ONLY (dir name says so); resume from the
+                    # last regular snapshot instead (ADVICE r2).
+                    crash_dir = os.path.join(
+                        model_dir, "crash_postupdate_diagnostic"
+                    )
                     ckpt_util.save_snapshot(
-                        os.path.join(model_dir, "crash"), epoch,
+                        crash_dir, epoch,
                         {"params": state.params,
                          "batch_stats": state.batch_stats,
                          "opt_state": state.opt_state, "step": state.step},
                     )
+                    with open(os.path.join(crash_dir, "CRASH.json"), "w") as f:
+                        json.dump(
+                            {"epoch": epoch, "itr": itr, "losses": crash,
+                             "note": "state captured post-update; use the "
+                                     "last regular snapshot to resume"},
+                            f, indent=2,
+                        )
                     raise FloatingPointError(
                         f"non-finite training loss: {crash}"
                     )

@@ -30,13 +30,17 @@ def _write(tmp_path, name, doc):
         json.dump(doc, f)
 
 
+METRIC = "dexycb_eval_inference_throughput"
+
+
 def test_read_baseline_numeric_round_order(bench):
     mod, tmp = bench
     # r1 red (parsed null), r2 green, r10 green — numeric order must pick r2
+    # (the FIRST-EVER green, so vs_baseline keeps showing progress)
     _write(tmp, "BENCH_r01.json", {"rc": 1, "parsed": None})
     _write(tmp, "BENCH_r2.json", {"parsed": {"value": 100.0}})
     _write(tmp, "BENCH_r10.json", {"parsed": {"value": 999.0}})
-    assert mod._read_baseline() == 100.0
+    assert mod._read_baseline(METRIC, "pipelined") == 100.0
 
 
 def test_read_baseline_skips_malformed(bench):
@@ -44,13 +48,28 @@ def test_read_baseline_skips_malformed(bench):
     with open(tmp / "BENCH_r1.json", "w") as f:
         f.write("not json {")
     _write(tmp, "BENCH_r2.json", {"value": 42.0})  # raw bench JSON form
-    assert mod._read_baseline() == 42.0
+    assert mod._read_baseline(METRIC, "pipelined") == 42.0
 
 
 def test_read_baseline_none_when_no_green(bench):
     mod, tmp = bench
     _write(tmp, "BENCH_r1.json", {"rc": 1, "parsed": None})
-    assert mod._read_baseline() is None
+    assert mod._read_baseline(METRIC, "pipelined") is None
+
+
+def test_read_baseline_filters_metric_and_mode(bench):
+    """Cross-metric and cross-methodology rounds must not anchor the ratio
+    (ADVICE r2: pipelined vs blocking numbers are incomparable)."""
+    mod, tmp = bench
+    _write(tmp, "BENCH_r1.json", {"parsed": {
+        "metric": "ho3d_eval_inference_throughput", "value": 50.0}})
+    _write(tmp, "BENCH_r2.json", {"parsed": {
+        "metric": METRIC, "mode": "blocking", "value": 70.0}})
+    # legacy entry with no mode field == pipelined (r2 was measured that way)
+    _write(tmp, "BENCH_r3.json", {"parsed": {"metric": METRIC, "value": 90.0}})
+    assert mod._read_baseline(METRIC, "pipelined") == 90.0
+    assert mod._read_baseline(METRIC, "blocking") == 70.0
+    assert mod._read_baseline("ho3d_eval_inference_throughput", "pipelined") == 50.0
 
 
 def test_ladder_falls_back_to_fresh_process_on_same_batch(bench, monkeypatch):

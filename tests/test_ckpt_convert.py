@@ -238,6 +238,46 @@ def test_full_model_standin_roundtrip():
             np.testing.assert_array_equal(want[k], got[k], err_msg=k)
 
 
+def test_full_model_standin_roundtrip_big_decoder():
+    """Same inverse-mapping guarantee for the ho3d big-decoder preset — the
+    DecoderBig head chain indexes differently (n_chain=2, final conv at
+    Sequential index 3*n_chain) and was previously untested (ADVICE r2)."""
+    import jax.tree_util as jtu
+
+    from hoisdf_tpu.config import get_config
+    from hoisdf_tpu.data.synthetic import split_inputs_targets, synthetic_batch
+    from hoisdf_tpu.models.hoisdf import build_model
+    from hoisdf_tpu.tools.make_standin_ckpt import flax_to_torch_state
+
+    cfg = get_config("ho3d", **dict(_tiny_overrides(), use_big_decoder=True))
+    model = build_model(cfg)
+    batch = synthetic_batch(cfg, 1, train=True)
+    inputs, _ = split_inputs_targets(batch)
+    inputs = {k: jnp.asarray(v) for k, v in inputs.items()}
+    variables = model.init(
+        {"params": jax.random.PRNGKey(5), "sample_noise": jax.random.PRNGKey(6)},
+        inputs, use_presampled=True, dist_range=0.0,
+    )
+    state = flax_to_torch_state(
+        variables["params"], variables["batch_stats"], big_decoder=True
+    )
+    params, stats = convert_state_dict(state, big_decoder=True)
+    for want_tree, got_tree in (
+        (variables["params"], params), (variables["batch_stats"], stats)
+    ):
+        want = dict(
+            (jtu.keystr(p), np.asarray(v))
+            for p, v in jtu.tree_flatten_with_path(want_tree)[0]
+        )
+        got = dict(
+            (jtu.keystr(p), np.asarray(v))
+            for p, v in jtu.tree_flatten_with_path(got_tree)[0]
+        )
+        assert set(want) == set(got), set(want) ^ set(got)
+        for k in want:
+            np.testing.assert_array_equal(want[k], got[k], err_msg=k)
+
+
 def test_parity_dryrun_standin_to_results_txt(tmp_path, monkeypatch):
     """The converted-checkpoint dry run, end to end on a synthetic-weights
     stand-in: reference-layout .npz -> convert -> eval -> results.txt
