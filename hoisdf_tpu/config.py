@@ -126,12 +126,23 @@ class Config:
     sdf_infer_chunk: int = 32768  # lattice points per scan step in "full" mode
     coarse_bins: int = 16
     coarse_keep_cells: int = 512
-    # (cell_factor, keep) cascade for sdf_infer_mode="hier".  Capped at
-    # keep=896 for the 2-cells level: (2, 1024) triggers a TPU kernel fault
-    # (UNAVAILABLE) when the cascade is fused with the backbone+decoder graph
-    # at batch 22, while 896 runs clean and measures faster end-to-end
-    # (83.7ms vs 155ms p50 for the fused sampler subgraph).
-    hier_levels: tuple = ((4, 512), (2, 896))
+    # (cell_factor, keep) cascade for sdf_infer_mode="hier".
+    #
+    # Default-levels decision (round 3): ((4,256),(2,512)) PASSED the
+    # dense-scan-oracle quality gate (ops/selection_quality.py) at the full
+    # 64^3 / K=600 production scale on stress geometry (2.5x-scaled hand +
+    # object blob + tight bbox): overlap@K 0.958-0.977, mean|sdf| ratio
+    # <=1.016 — numerically identical to the previous ((4,512),(2,896))
+    # default on every metric, at half the probe count (TPU: 396.5 vs
+    # 306.7 f/s pipelined).  ((4,128),(2,256)) FAILS the gate (overlap 0.85)
+    # and stays unavailable.  Gate + table: tests/test_point_sampling.py::
+    # test_hier_levels_full_scale_quality_gate, `bench_components.py
+    # --selection-quality`.
+    #
+    # keep values at the 2-cells level are capped at 896: (2, 1024) triggers
+    # a TPU kernel fault (UNAVAILABLE) when the cascade is fused with the
+    # backbone+decoder graph at batch 22 (see tools/repro_fused_fault.py).
+    hier_levels: tuple = ((4, 256), (2, 512))
     # Fused Pallas SDF-MLP kernel inside sdf_infer (TPU only; the training
     # path keeps the flax module for grads + dropout).
     fused_sdf_infer: bool = True

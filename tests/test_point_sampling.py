@@ -240,3 +240,57 @@ def test_hier_levels_selection_quality_on_hand_geometry():
             h_set = {tuple(np.round(p, 5)) for p in np.asarray(pts_h[b])}
             overlap = len(full_set & h_set) / k
             assert overlap >= min_overlap, (levels, b, overlap)
+
+
+def test_hier_levels_full_scale_quality_gate():
+    """The round-3 default-levels decision (config.hier_levels): at the FULL
+    production scale (64^3 lattice, K=600) on stress geometry (2.5x-scaled
+    hand + object blob + tight bbox), the promoted ((4,256),(2,512)) levels
+    must pass the dense-scan-oracle gate (overlap@K >= 0.95, mean|sdf| ratio
+    <= 1.05 per item), and the next-cheaper ((4,128),(2,256)) must FAIL it —
+    proving the gate has teeth exactly where the default sits."""
+    from hoisdf_tpu.config import Config
+    from hoisdf_tpu.mano.layer import ManoBuffers, mano_forward
+    from hoisdf_tpu.mano.model import make_synthetic_mano
+    from hoisdf_tpu.ops.selection_quality import gate, selection_quality
+
+    buffers = ManoBuffers.from_model(make_synthetic_mano(0))
+    rng = np.random.RandomState(3)
+    b = 2
+    pose = jnp.asarray(rng.randn(b, 48).astype(np.float32) * 0.6)
+    betas = jnp.asarray(rng.randn(b, 10).astype(np.float32) * 0.5)
+    verts_mm, joints_mm = mano_forward(buffers, pose, betas)
+    verts_s = (verts_mm - joints_mm[:, :1]) / 1000.0 * 3.1 * 2.5
+    obj = jnp.asarray(
+        rng.randn(b, 200, 3).astype(np.float32) * 0.35
+        + np.array([0.3, -0.2, 0.1], np.float32)
+    )
+    surf = jnp.concatenate([verts_s, obj], axis=1)
+
+    def field(pts):
+        p2 = (pts**2).sum(-1)
+        v2 = (surf**2).sum(-1)
+        cross = jnp.einsum("bmc,bvc->bmv", pts, surf)
+        return jnp.sqrt(jnp.maximum(p2[..., None] + v2[:, None, :] - 2 * cross, 0)).min(-1)
+
+    center = jnp.asarray(np.tile(np.array([[0.0, 0.0, 0.6]], np.float32), (b, 1)))
+    cam = jnp.asarray(np.tile(
+        np.array([[[600.0, 0, 320], [0, 600, 240], [0, 0, 1]]], np.float32),
+        (b, 1, 1),
+    ))
+    bbox = jnp.asarray(np.tile(np.array([[200.0, 150.0, 480.0, 360.0]], np.float32), (b, 1)))
+
+    default_levels = Config().hier_levels
+    assert default_levels == ((4, 256), (2, 512))  # the promoted default
+    rep = selection_quality(
+        field, center, cam, bbox, sdf_scale=3.1, num_points=600, bins_n=64,
+        levels=default_levels,
+    )
+    assert gate(rep), rep
+    assert (rep["overlap_at_k"] >= 0.95).all(), rep["overlap_at_k"]
+
+    rep_bad = selection_quality(
+        field, center, cam, bbox, sdf_scale=3.1, num_points=600, bins_n=64,
+        levels=((4, 128), (2, 256)),
+    )
+    assert not gate(rep_bad), rep_bad
