@@ -108,6 +108,30 @@ class ScalarWriter:
             self._tb.add_image(tag, arr, step, dataformats="HWC")
 
 
+def load_backbone_init(state, snapshot_dir: str):
+    """Graft ImageNet backbone weights from an OFFLINE-converted torchvision
+    snapshot (``tools/convert_torch_ckpt.py --torchvision``) into a fresh
+    train state — the no-download equivalent of the reference's model-zoo
+    init at build time (common/nets/resnet.py:89-98)."""
+    restored = ckpt_util.restore_snapshot(
+        snapshot_dir,
+        {"params": {"backbone": state.params["backbone"]},
+         "batch_stats": {"backbone": state.batch_stats["backbone"]},
+         "opt_state": {}, "step": 0},
+    )
+    if restored is None:
+        raise FileNotFoundError(
+            f"no snapshot under {snapshot_dir} — produce one with "
+            "python -m hoisdf_tpu.tools.convert_torch_ckpt "
+            "<resnet50.pth> <dir> --torchvision"
+        )
+    return state.replace(
+        params={**state.params, "backbone": restored["params"]["backbone"]},
+        batch_stats={**state.batch_stats,
+                     "backbone": restored["batch_stats"]["backbone"]},
+    )
+
+
 def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--setting", default="dexycb")
@@ -118,6 +142,12 @@ def parse_args():
     p.add_argument("--lr_drop", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument(
+        "--backbone-init", default=None, metavar="SNAPSHOT_DIR",
+        help="initialize the ResNet backbone from a converted torchvision "
+             "ImageNet snapshot (tools/convert_torch_ckpt.py --torchvision); "
+             "offline equivalent of common/nets/resnet.py:89-98",
+    )
     p.add_argument("--iters-per-epoch", type=int, default=None)
     p.add_argument("--cpu", action="store_true")
     p.add_argument(
@@ -219,6 +249,9 @@ def main():
         {k: jnp.asarray(v) for k, v in s_inputs.items()}, iters_per_epoch,
     )
     start_epoch = 0
+    if args.backbone_init:
+        state = load_backbone_init(state, args.backbone_init)
+        logger.info(f"backbone initialized from {args.backbone_init}")
     if args.continue_train:
         restored = ckpt_util.restore_snapshot(
             model_dir,

@@ -274,3 +274,54 @@ def test_train_step_deterministic(setup):
         np.asarray(s_a.params["linear_shape"]["layers_0"]["kernel"]),
         np.asarray(s_b.params["linear_shape"]["layers_0"]["kernel"]),
     )
+
+
+def test_backbone_init_grafts_converted_imagenet_weights(tmp_path):
+    """--backbone-init loads an offline-converted torchvision snapshot and
+    replaces ONLY the backbone subtree (train_loop.load_backbone_init; the
+    reference downloads ImageNet weights at build, resnet.py:89-98)."""
+    import jax.tree_util as jtu
+
+    from hoisdf_tpu.config import get_config
+    from hoisdf_tpu.data.synthetic import split_inputs_targets, synthetic_batch
+    from hoisdf_tpu.models.hoisdf import build_model
+    from hoisdf_tpu.train import create_train_state
+    from hoisdf_tpu.train_loop import load_backbone_init
+    from hoisdf_tpu.utils import checkpoint as ckpt_util
+
+    cfg = get_config(
+        "dexycb", resnet_type=18, hidden_dim=64, dim_feedforward=128,
+        enc_layers=2, dec_layers=2, num_samp_hand=16, num_samp_obj=8,
+        input_img_shape=(64, 64), output_hm_shape=(32, 32, 32), bins_n=8,
+        sdf_infer_chunk=512,
+    )
+    model = build_model(cfg)
+    sample = synthetic_batch(cfg, 1, train=True)
+    s_inputs, _ = split_inputs_targets(sample)
+    s_inputs = {k: jnp.asarray(v) for k, v in s_inputs.items()}
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), s_inputs, 10)
+
+    # fake "converted torchvision" snapshot: backbone subtree, all-sevens
+    marked_p = jtu.tree_map(lambda a: np.full_like(a, 7.0),
+                            state.params["backbone"])
+    marked_s = jtu.tree_map(lambda a: np.full_like(a, 3.0),
+                            state.batch_stats["backbone"])
+    ckpt_util.save_snapshot(
+        str(tmp_path), 0,
+        {"params": {"backbone": marked_p},
+         "batch_stats": {"backbone": marked_s}, "opt_state": {}, "step": 0},
+    )
+
+    head_before = np.asarray(
+        jtu.tree_leaves(state.params["linear_shape"])[0]
+    ).copy()
+    new_state = load_backbone_init(state, str(tmp_path))
+    for leaf in jtu.tree_leaves(new_state.params["backbone"]):
+        assert (np.asarray(leaf) == 7.0).all()
+    for leaf in jtu.tree_leaves(new_state.batch_stats["backbone"]):
+        assert (np.asarray(leaf) == 3.0).all()
+    # everything outside the backbone untouched
+    np.testing.assert_array_equal(
+        np.asarray(jtu.tree_leaves(new_state.params["linear_shape"])[0]),
+        head_before,
+    )
