@@ -196,8 +196,23 @@ def main():
                                  jnp.asarray(0.03), use_presampled=use_pre)
                 return losses["total"]
             dt = _time(lambda: one(), iters=max(args.iters // 2, 2))
+            # FLOPs of the whole step (fwd+bwd+update) from XLA cost
+            # analysis — the MFU denominator for the train decomposition
+            # (docs/PERFORMANCE.md).  Compile rides the persistent cache.
+            try:
+                cost = step.lower(
+                    s, t_inputs, t_targets, jax.random.PRNGKey(1),
+                    jnp.asarray(0.03), use_presampled=use_pre,
+                ).compile().cost_analysis()
+                if isinstance(cost, (list, tuple)):
+                    cost = cost[0]
+                gflop_frame = float(cost.get("flops", 0.0)) / batch_n / 1e9
+            except Exception:  # noqa: BLE001
+                gflop_frame = None
             results.append({"metric": name, "value": round(batch_n / dt, 1),
-                            "unit": "frames/sec"})
+                            "unit": "frames/sec",
+                            "gflop_per_frame":
+                                round(gflop_frame, 2) if gflop_frame else None})
 
     for r in results:
         print(json.dumps(r))

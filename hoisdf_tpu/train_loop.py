@@ -284,6 +284,41 @@ def main():
 
     tot_timer, step_timer = Timer(), Timer()
 
+    # Lagged loss fetch (see the dispatch note in the loop): a small window
+    # of on-device loss trees; checked loss_lag steps late.
+    import collections
+
+    loss_lag = 4
+    loss_window: "collections.deque" = collections.deque()
+    total = float("nan")
+
+    def _check_finite(l_epoch, l_itr, l_losses) -> float:
+        """Host-fetch a lagged step's losses; on non-finite, dump the
+        diagnostic snapshot (post-update state, ADVICE r2) and die."""
+        t = float(l_losses["total"])
+        if np.isfinite(t):
+            return t
+        crash = {k: float(v) for k, v in l_losses.items()}
+        logger.error(
+            f"non-finite loss at epoch {l_epoch} itr {l_itr} "
+            f"(detected {loss_lag} steps late): {crash}"
+        )
+        crash_dir = os.path.join(model_dir, "crash_postupdate_diagnostic")
+        ckpt_util.save_snapshot(
+            crash_dir, l_epoch,
+            {"params": state.params, "batch_stats": state.batch_stats,
+             "opt_state": state.opt_state, "step": state.step},
+        )
+        with open(os.path.join(crash_dir, "CRASH.json"), "w") as f:
+            json.dump(
+                {"epoch": l_epoch, "itr": l_itr, "losses": crash,
+                 "note": "state captured post-update and up to "
+                         f"{loss_lag} steps past the NaN; use the last "
+                         "regular snapshot to resume"},
+                f, indent=2,
+            )
+        raise FloatingPointError(f"non-finite training loss: {crash}")
+
     with mesh:
         for epoch in range(start_epoch, cfg.end_epoch):
             for itr, batch_np in enumerate(batches(epoch)):
@@ -300,41 +335,17 @@ def main():
                     state, inputs, targets, rng, jnp.asarray(dist_range),
                     use_presampled=use_pre,
                 )
-                total = float(losses["total"])
+                # Pipelined dispatch: never block on THIS step's loss.  The
+                # remote-TPU tunnel costs ~29 ms per synchronous round trip
+                # (docs/PERFORMANCE.md); fetching the loss a few steps late
+                # lets JAX's async dispatch overlap RPC with device compute,
+                # the same trick that took eval from 306->413 f/s.  The NaN
+                # check just lags loss_lag steps (the crash snapshot was
+                # already post-update/diagnostic-only).
+                loss_window.append((epoch, itr, losses))
+                if len(loss_window) > loss_lag:
+                    total = _check_finite(*loss_window.popleft())
                 step_timer.toc()
-                if not np.isfinite(total):
-                    # Failure detection: dump a crash snapshot (params AND
-                    # the step's loss breakdown) before dying, so a NaN
-                    # hours into a run is diagnosable + resumable from the
-                    # last good snapshot rather than silently corrupting
-                    # every later one.
-                    crash = {k: float(v) for k, v in losses.items()}
-                    logger.error(
-                        f"non-finite loss at epoch {epoch} itr {itr}: {crash}"
-                    )
-                    # NOTE: saved AFTER apply_gradients, so params/opt_state
-                    # are typically already NaN-contaminated — this snapshot
-                    # is DIAGNOSTIC ONLY (dir name says so); resume from the
-                    # last regular snapshot instead (ADVICE r2).
-                    crash_dir = os.path.join(
-                        model_dir, "crash_postupdate_diagnostic"
-                    )
-                    ckpt_util.save_snapshot(
-                        crash_dir, epoch,
-                        {"params": state.params,
-                         "batch_stats": state.batch_stats,
-                         "opt_state": state.opt_state, "step": state.step},
-                    )
-                    with open(os.path.join(crash_dir, "CRASH.json"), "w") as f:
-                        json.dump(
-                            {"epoch": epoch, "itr": itr, "losses": crash,
-                             "note": "state captured post-update; use the "
-                                     "last regular snapshot to resume"},
-                            f, indent=2,
-                        )
-                    raise FloatingPointError(
-                        f"non-finite training loss: {crash}"
-                    )
                 if itr % 400 == 0:
                     writer.add_scalars(
                         int(state.step), {f"train_{k}": v for k, v in losses.items()}
@@ -342,11 +353,14 @@ def main():
                 tot_timer.toc()
                 logger.info(
                     "Epoch %d/%d itr %d/%d: speed %.2f(%.2f)s/itr %.2fh/epoch "
-                    "loss %.4f"
+                    "loss[-%d] %.4f"
                     % (epoch, cfg.end_epoch, itr, iters_per_epoch,
                        tot_timer.average_time, step_timer.average_time,
-                       tot_timer.average_time * iters_per_epoch / 3600, total)
+                       tot_timer.average_time * iters_per_epoch / 3600,
+                       loss_lag, total)
                 )
+            while loss_window:  # epoch boundary: drain the lagged checks
+                total = _check_finite(*loss_window.popleft())
 
             save_gap = 1 if epoch >= cfg.point_sampling_epoch else 5
             if epoch % save_gap == 0 or epoch == cfg.end_epoch - 1:
