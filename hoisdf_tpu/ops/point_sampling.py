@@ -178,6 +178,16 @@ def sdf_guided_sample_hierarchical(
         sdf = sdf_fn(pts)  # [B, M]
         in_box = _in_bbox(pts, center, cam_intr, bbox, sdf_scale)
         score = jnp.where(in_box, jnp.abs(sdf), jnp.inf)
+        # Small lattices (tests, CPU smoke configs) can have fewer cells than
+        # the production keep values — clamp statically, selection exact.
+        # The final stage keeps its contract: num_points is the output shape.
+        if final:
+            assert score.shape[1] >= keep, (
+                f"hier cascade yields {score.shape[1]} candidate points < "
+                f"num_points={keep}; raise the last level's keep"
+            )
+        else:
+            keep = min(keep, score.shape[1])
         if approx_topk and not final:
             # TPU-hardware-accelerated approximate top-k for the *pruning*
             # stages only: recall<1 just means a slightly different

@@ -231,6 +231,83 @@ def test_loader_over_real_dataset(fixture_dirs):
     assert batch["target_mano_param"].shape == (3, 58)
 
 
+def test_dexycb_real_eval_end_to_end(fixture_dirs, tmp_path, monkeypatch):
+    """Drives evaluate.main()'s real (non-synthetic) DexYCB branch over the
+    reference-layout fixture to a results.txt with finite MJE/PA-MJE and
+    object metrics (main/test.py:119-259)."""
+    import sys
+
+    from hoisdf_tpu import evaluate as ev_mod
+    from hoisdf_tpu.data.dexycb import YCB_CLASSES
+
+    ann, img, sdf, root = fixture_dirs
+    rng = np.random.RandomState(5)
+    simple = tmp_path / "simple"
+    for name in YCB_CLASSES:
+        os.makedirs(simple / name)
+        with open(simple / name / "textured_simple_2000.obj", "w") as f:
+            for v in rng.randn(50, 3) * 0.04:
+                f.write("v %f %f %f\n" % tuple(v))
+
+    out_dir = tmp_path / "out"
+    # The test mesh has 8 virtual devices and the module fixture only 3 eval
+    # samples, so build an 8-sample copy (annotations duplicated, SDF dumps
+    # copied, the global index rewritten to the 8 sorted names) in tmp_path.
+    import json as _json
+    import shutil
+
+    with open(os.path.join(ann, "dex_ycb_s0_test_data.json")) as f:
+        base = _json.load(f)
+    big = {}
+    src_sdf = os.path.join(sdf, "full_test", "sdf_processed")
+    sdf8 = tmp_path / "sdf8" / "full_test"
+    os.makedirs(sdf8 / "sdf_processed")
+    names = []
+    for i in range(8):
+        key = f"idx{i}"
+        big[key] = dict(base[f"idx{i % 3}"])
+        shutil.copyfile(
+            os.path.join(src_sdf, f"idx{i % 3}.npy"),
+            sdf8 / "sdf_processed" / f"{key}.npy",
+        )
+        names.append(key)
+    np.save(sdf8 / "sdf_index.npy",
+            np.asarray([[300, 200] for _ in sorted(names)]))
+    ann2 = tmp_path / "ann8"
+    os.makedirs(ann2)
+    with open(ann2 / "dex_ycb_s0_test_data.json", "w") as f:
+        _json.dump(big, f)
+
+    argv = [
+        "evaluate", "--setting", "dexycb", "--cpu",
+        "--batch-size", "8", "--out", str(out_dir),
+        "--cfg", f"annotation_dir={ann2}",
+        "--cfg", f"image_fast_path={img}",
+        "--cfg", f"fast_data_dir={tmp_path / 'sdf8'}",
+        "--cfg", f"data_dir={root}",
+        "--cfg", f"simple_object_models_dir={simple}",
+        "--cfg", "small_dexycb=false",
+        "--cfg", "resnet_type=18", "--cfg", "hidden_dim=64",
+        "--cfg", "dim_feedforward=128", "--cfg", "enc_layers=2",
+        "--cfg", "dec_layers=2", "--cfg", "num_samp_hand=32",
+        "--cfg", "num_samp_obj=16", "--cfg", "input_img_shape=[64, 64]",
+        "--cfg", "output_hm_shape=[32, 32, 32]", "--cfg", "bins_n=16",
+        "--cfg", "sdf_infer_chunk=2048", "--cfg", "num_data_workers=2",
+        "--cfg", "points_filter_dist=1.0",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    ev_mod.main()
+
+    text = open(out_dir / "results.txt").read()
+    metrics = {}
+    for line in text.splitlines():
+        if ":" in line:
+            k, _, v = line.partition(":")
+            metrics[k.strip()] = float(v)
+    for k in ("ADDS_error", "mano_mje", "mano_pamje", "OCE_error", "MCE_error"):
+        assert np.isfinite(metrics[k]), (k, metrics)
+
+
 def test_train_loop_real_path_end_to_end(fixture_dirs, tmp_path, monkeypatch):
     """Drives hoisdf_tpu.train_loop.main() on the on-disk fixture via the
     REAL-data branch: train step, snapshot, eval-during-training, and the
