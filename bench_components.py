@@ -41,6 +41,12 @@ def main():
              "production default, see bench.py)",
     )
     parser.add_argument(
+        "--train-batch", type=int, default=None,
+        help="per-chip batch for --train (default 22 = reference parity; "
+             "the reference's 22 was a GPU memory limit, larger batches can "
+             "lift MXU utilization on TPU)",
+    )
+    parser.add_argument(
         "--selection-quality", action="store_true",
         help="print the dense-scan-oracle quality table for the hier_levels "
              "candidates (the config.hier_levels promotion gate)",
@@ -177,7 +183,7 @@ def main():
                 "output_hm_shape": (32, 32, 32), "bins_n": 16,
                 "sdf_infer_chunk": 2048} if args.cpu else {}),
         )
-        batch_n = 2 if args.cpu else 22
+        batch_n = args.train_batch or (2 if args.cpu else 22)
         model = build_model(cfg)
         b = synthetic_batch(cfg, batch_n, train=True)
         t_inputs, t_targets = split_inputs_targets(b)

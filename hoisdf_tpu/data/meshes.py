@@ -29,20 +29,12 @@ def load_obj_vertices(path: str) -> np.ndarray:
 
 
 def bbox21_3d(verts: np.ndarray) -> np.ndarray:
-    """21-point 3D box: 8 corners + 12 edge midpoints + center
-    (dataset_util.py:204-272 layout: corners, then midpoints, then center)."""
-    mn, mx = verts.min(0), verts.max(0)
-    corners = np.array(
-        [[x, y, z] for x in (mn[0], mx[0]) for y in (mn[1], mx[1])
-         for z in (mn[2], mx[2])], np.float32,
-    )
-    edges = [
-        (0, 1), (0, 2), (0, 4), (1, 3), (1, 5), (2, 3),
-        (2, 6), (3, 7), (4, 5), (4, 6), (5, 7), (6, 7),
-    ]
-    mids = np.stack([(corners[a] + corners[b]) / 2 for a, b in edges])
-    center = (mn + mx)[None] / 2
-    return np.concatenate([corners, mids, center], axis=0).astype(np.float32)
+    """21-point 3D box: 8 corners + 12 edge midpoints + center, in the
+    reference's stacking order (dataset_util.py:204-272); single shared
+    implementation in data/transforms.py."""
+    from hoisdf_tpu.data.transforms import get_bbox21_3d
+
+    return get_bbox21_3d(verts)
 
 
 def mesh_diameter(verts: np.ndarray) -> float:

@@ -73,10 +73,17 @@ def main():
     targets = {k: jnp.asarray(v) for k, v in targets.items()}
     state = create_train_state(cfg, model, jax.random.PRNGKey(0), inputs, 1000)
 
+    import optax
+
     results = {}
     for name, use_pre in (("presampled", True), ("field", False)):
+        # Chaining lives INSIDE jit (carry in, carry-dependent key, scalar
+        # out): exactly one dispatch per iteration, no eager tunnel ops.
         @functools.partial(jax.jit, static_argnames=("use_presampled",))
-        def fwd_only(params, bs, key, *, use_presampled):
+        def fwd_only(carry, params, bs, *, use_presampled):
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(1), carry.astype(jnp.int32) * 0
+            )
             out, _ = model.apply(
                 {"params": params, "batch_stats": bs}, inputs,
                 use_presampled=use_presampled, dist_range=0.03, train=True,
@@ -84,10 +91,14 @@ def main():
                 mutable=["batch_stats"],
             )
             losses, _ = compute_losses(cfg, out, targets, mano)
-            return weighted_total(cfg, losses)
+            return weighted_total(cfg, losses) + carry * 0
 
         @functools.partial(jax.jit, static_argnames=("use_presampled",))
-        def grad_only(params, bs, key, *, use_presampled):
+        def grad_only(carry, params, bs, *, use_presampled):
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(1), carry.astype(jnp.int32) * 0
+            )
+
             def loss_fn(p):
                 out, mut = model.apply(
                     {"params": p, "batch_stats": bs}, inputs,
@@ -100,24 +111,16 @@ def main():
                 return weighted_total(cfg, losses), mut["batch_stats"]
 
             (total, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-            # fold the grads into a scalar-dependent carry so chaining works
-            leaf = jax.tree_util.tree_leaves(grads)[0]
-            return total + leaf.ravel()[0] * 0
+            # global_norm consumes EVERY grad leaf — nothing for XLA to DCE
+            return total + optax.global_norm(grads) + carry * 0
 
-        # chain on a scalar carry folded into the rng key
         def chain_fwd(c):
-            return fwd_only(
-                state.params, state.batch_stats,
-                jax.random.fold_in(jax.random.PRNGKey(1), (c * 0).astype(jnp.int32)),
-                use_presampled=use_pre,
-            ) + c * 0
+            return fwd_only(c, state.params, state.batch_stats,
+                            use_presampled=use_pre)
 
         def chain_grad(c):
-            return grad_only(
-                state.params, state.batch_stats,
-                jax.random.fold_in(jax.random.PRNGKey(1), (c * 0).astype(jnp.int32)),
-                use_presampled=use_pre,
-            ) + c * 0
+            return grad_only(c, state.params, state.batch_stats,
+                             use_presampled=use_pre)
 
         t_fwd = chain_time(chain_fwd, jnp.asarray(0.0), args.iters)
         t_grad = chain_time(chain_grad, jnp.asarray(0.0), args.iters)

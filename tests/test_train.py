@@ -1,6 +1,7 @@
 """Train-step tests: optimizer wiring, BN freeze, LR schedule, checkpointing,
 and the 8-device data-parallel path."""
 
+import os
 import numpy as np
 import pytest
 
@@ -325,3 +326,45 @@ def test_backbone_init_grafts_converted_imagenet_weights(tmp_path):
         np.asarray(jtu.tree_leaves(new_state.params["linear_shape"])[0]),
         head_before,
     )
+
+
+def test_lagged_nan_check_dumps_diagnostic_snapshot(tmp_path, monkeypatch):
+    """The pipelined loss window must still catch a NaN (a few steps late)
+    and dump the post-update diagnostic snapshot + CRASH.json."""
+    import sys
+
+    import pytest as _pytest
+
+    from hoisdf_tpu import train_loop
+
+    real_make = train_loop.make_train_step
+
+    def wrapped_make(cfg, model, mano, **kw):
+        step = real_make(cfg, model, mano, **kw)
+        calls = {"n": 0}
+
+        def bad_step(state, inputs, targets, rng, dist, *, use_presampled):
+            state, losses = step(state, inputs, targets, rng, dist,
+                                 use_presampled=use_presampled)
+            calls["n"] += 1
+            if calls["n"] == 2:  # poison step 2's loss
+                losses = dict(losses, total=losses["total"] * jnp.nan)
+            return state, losses
+
+        return bad_step
+
+    monkeypatch.setattr(train_loop, "make_train_step", wrapped_make)
+    argv = [
+        "train_loop", "--setting", "dexycb", "--run_dir_name", "nanrun",
+        "--synthetic", "--end_epoch", "1", "--iters-per-epoch", "3", "--cpu",
+        "--cfg", f"output_dir={tmp_path}", "--cfg", "train_batch_size=8",
+        "--cfg", "num_samp_hand=16", "--cfg", "num_samp_obj=8",
+        "--cfg", "bins_n=8", "--cfg", "sdf_infer_chunk=512",
+    ]
+    monkeypatch.setattr(sys, "argv", argv)
+    with _pytest.raises(FloatingPointError):
+        train_loop.main()
+    crash_dir = os.path.join(
+        str(tmp_path), "nanrun", "model_dump", "crash_postupdate_diagnostic"
+    )
+    assert os.path.exists(os.path.join(crash_dir, "CRASH.json"))
