@@ -20,13 +20,22 @@ class _ColorFormatter(logging.Formatter):
 
 def colorlogger(log_dir: str = ".", log_name: str = "logs.txt") -> logging.Logger:
     logger = logging.getLogger(f"hoisdf.{log_name}")
+    os.makedirs(log_dir, exist_ok=True)
+    target = os.path.abspath(os.path.join(log_dir, log_name))
     if logger.handlers:
-        return logger
+        # Same-named logger from an earlier run in this process: keep it if
+        # it already writes to this run's file, else rebind the handlers
+        # (a cached handler would silently log into the OLD run's dir).
+        for h in logger.handlers:
+            if isinstance(h, logging.FileHandler) and h.baseFilename == target:
+                return logger
+        for h in list(logger.handlers):
+            logger.removeHandler(h)
+            h.close()
     logger.setLevel(logging.INFO)
     logger.propagate = False
     fmt = "%(asctime)s %(levelname)s %(message)s"
-    os.makedirs(log_dir, exist_ok=True)
-    fh = logging.FileHandler(os.path.join(log_dir, log_name))
+    fh = logging.FileHandler(target)
     fh.setFormatter(logging.Formatter(fmt))
     ch = logging.StreamHandler()
     ch.setFormatter(_ColorFormatter(fmt))

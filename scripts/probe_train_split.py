@@ -19,7 +19,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def chain_time(fn, init_carry, iters):
     import jax
 
+    # TWO warmup calls: the first compiles; the second absorbs the
+    # weak->strong dtype retrace of the carry scalar (a second full compile
+    # through the remote tunnel — this poisoned the first probe readings).
     carry = fn(init_carry)
+    jax.block_until_ready(carry)
+    carry = fn(carry)
     jax.block_until_ready(carry)
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -32,6 +37,12 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=8)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument(
+        "--mode", default="hier", choices=("hier", "coarse2fine", "full"),
+        help="sdf_infer_mode for the field-sampling branch (the config "
+        "default 'full' is the dense parity scan — 927 ms/step at batch 22, "
+        "NOT the production sampler; every deployed entry point uses 'hier')",
+    )
     args = p.parse_args()
 
     import jax
@@ -63,7 +74,9 @@ def main():
         input_img_shape=(64, 64), output_hm_shape=(32, 32, 32), bins_n=16,
         sdf_infer_chunk=2048,
     ) if args.cpu else {}
-    cfg = get_config("dexycb", compute_dtype="float32" if args.cpu else "bfloat16", **tiny)
+    cfg = get_config(
+        "dexycb", compute_dtype="float32" if args.cpu else "bfloat16",
+        sdf_infer_mode=args.mode, **tiny)
     batch_n = 2 if args.cpu else 22
     model = build_model(cfg)
     mano = ManoBuffers.from_model(make_synthetic_mano(0))
@@ -80,7 +93,7 @@ def main():
         # Chaining lives INSIDE jit (carry in, carry-dependent key, scalar
         # out): exactly one dispatch per iteration, no eager tunnel ops.
         @functools.partial(jax.jit, static_argnames=("use_presampled",))
-        def fwd_only(carry, params, bs, *, use_presampled):
+        def fwd_only(carry, params, bs, inputs, targets, *, use_presampled):
             key = jax.random.fold_in(
                 jax.random.PRNGKey(1), carry.astype(jnp.int32) * 0
             )
@@ -94,7 +107,7 @@ def main():
             return weighted_total(cfg, losses) + carry * 0
 
         @functools.partial(jax.jit, static_argnames=("use_presampled",))
-        def grad_only(carry, params, bs, *, use_presampled):
+        def grad_only(carry, params, bs, inputs, targets, *, use_presampled):
             key = jax.random.fold_in(
                 jax.random.PRNGKey(1), carry.astype(jnp.int32) * 0
             )
@@ -114,16 +127,19 @@ def main():
             # global_norm consumes EVERY grad leaf — nothing for XLA to DCE
             return total + optax.global_norm(grads) + carry * 0
 
+        # batch passed as ARGUMENTS: closure-captured arrays become program
+        # constants that the axon tunnel re-streams on every dispatch
+        # (measured: 8 s/call vs 136 ms for the arg-passing full step)
         def chain_fwd(c):
-            return fwd_only(c, state.params, state.batch_stats,
-                            use_presampled=use_pre)
+            return fwd_only(c, state.params, state.batch_stats, inputs,
+                            targets, use_presampled=use_pre)
 
         def chain_grad(c):
-            return grad_only(c, state.params, state.batch_stats,
-                             use_presampled=use_pre)
+            return grad_only(c, state.params, state.batch_stats, inputs,
+                             targets, use_presampled=use_pre)
 
-        t_fwd = chain_time(chain_fwd, jnp.asarray(0.0), args.iters)
-        t_grad = chain_time(chain_grad, jnp.asarray(0.0), args.iters)
+        t_fwd = chain_time(chain_fwd, jnp.zeros((), jnp.float32), args.iters)
+        t_grad = chain_time(chain_grad, jnp.zeros((), jnp.float32), args.iters)
 
         step = make_train_step(cfg, model, mano, donate_state=True)
         s = jax.tree_util.tree_map(jnp.copy, state)
