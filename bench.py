@@ -259,6 +259,12 @@ def main() -> None:
         help='override cfg.hier_levels for --sdf-infer-mode hier, e.g. '
              '"[[4,512],[2,896]]"',
     )
+    parser.add_argument(
+        "--cfg", action="append", default=[], metavar="KEY=VALUE",
+        help="extra config overrides (JSON values; repeatable) — the A/B "
+             "hook for knobs without dedicated flags, e.g. "
+             "--cfg gather_chunked_max_table=1024",
+    )
     parser.add_argument("--no-fused", action="store_true",
                         help="disable the fused Pallas SDF-MLP kernel")
     parser.add_argument("--no-retry", action="store_true",
@@ -279,7 +285,7 @@ def main() -> None:
 
     enable_compile_cache()
 
-    from hoisdf_tpu.config import get_config
+    from hoisdf_tpu.config import get_config, parse_cfg_overrides
     from hoisdf_tpu.data.synthetic import synthetic_batch
     from hoisdf_tpu.mano.layer import ManoBuffers
     from hoisdf_tpu.mano.model import make_synthetic_mano
@@ -290,11 +296,11 @@ def main() -> None:
             args.setting, resnet_type=18, hidden_dim=64, dim_feedforward=128,
             enc_layers=2, dec_layers=2, num_samp_hand=32, num_samp_obj=16,
             input_img_shape=(64, 64), output_hm_shape=(32, 32, 32), bins_n=16,
-            sdf_infer_chunk=2048,
+            sdf_infer_chunk=2048, **parse_cfg_overrides(args.cfg),
         )
         args.batch = min(args.batch, 4)
     else:
-        extra = {}
+        extra = parse_cfg_overrides(args.cfg)
         if args.hier_levels:
             extra["hier_levels"] = tuple(
                 tuple(l) for l in json.loads(args.hier_levels)
@@ -329,7 +335,7 @@ def main() -> None:
         "--iters", str(args.iters), "--warmup", str(args.warmup),
     ] + (["--no-fused"] if args.no_fused else []) + (
         ["--hier-levels", args.hier_levels] if args.hier_levels else []
-    )
+    ) + [a for item in args.cfg for a in ("--cfg", item)]
 
     fps = p50 = None
     used_batch = None

@@ -153,6 +153,11 @@ class Config:
     # (recall 0.95 on the conservative keep-set; the final point top-K stays
     # exact lax.top_k).
     approx_selection_topk: bool = False
+    # Route pyramid levels with 256 < H*W <= this onto the MXU via the
+    # chunked one-hot matmul (ops/grid_sample.py::
+    # grid_sample_bilinear_matmul_chunked; bit-exact bilinear).  1024 moves
+    # the stride8 level off the gather unit; 0 keeps it on lax.gather.
+    gather_chunked_max_table: int = 0
     mesh_axis_data: str = "data"
     num_data_workers: int = 15
     seed: int = 0

@@ -148,7 +148,10 @@ class HOISDF(nn.Module):
     ):
         """Pixel-aligned 223-d token features (main/model.py:145-179)."""
         grid, cam_pts = self._gather_grid(points_scaled, center, cam_intr, sdf_scale)
-        feats = multiscale_point_features(pyramid, grid, self.cfg.multiscale_layers)
+        feats = multiscale_point_features(
+            pyramid, grid, self.cfg.multiscale_layers,
+            chunked_max_table=self.cfg.gather_chunked_max_table,
+        )
         return self.linear_transformerin(feats), cam_pts
 
     def _sdf_decoder_inputs(
@@ -161,6 +164,7 @@ class HOISDF(nn.Module):
         feats = multiscale_point_features(
             pyramid, grid, c.multiscale_layers, nearest=nearest,
             slice_gather=slice_gather,
+            chunked_max_table=c.gather_chunked_max_table,
         )
         points_fea = self.linear_sdfin(feats)
         posenc = nerf_positional_encoding(points_scaled, c.nerf_num_freqs)

@@ -115,6 +115,57 @@ def grid_sample_bilinear_matmul(feat: jax.Array, grid: jax.Array) -> jax.Array:
     return jnp.einsum("bph,bhc->bpc", weights, flat)
 
 
+def grid_sample_bilinear_matmul_chunked(
+    feat: jax.Array, grid: jax.Array, chunk: int = 256
+) -> jax.Array:
+    """Bilinear one-hot matmul for MIDDLE table sizes (stride8's 32x32=1024).
+
+    Bit-identical math to ``grid_sample_bilinear_matmul`` but the [B, P, HW]
+    interpolation-weight matrix is built and contracted ``chunk`` table
+    entries at a time: every einsum stays at the <=256-entry shape class the
+    MXU path already proves safe, sidestepping the TPU-runtime fault that a
+    single >256-entry one-hot einsum triggers on this stack (round-1
+    finding, see MATMUL_GATHER_MAX_TABLE).  A corner landing in chunk k
+    contributes only to chunk k's partial product; partials accumulate in
+    ascending chunk order.  Exact bilinear up to fp summation order: a point
+    whose 2x2 footprint straddles a chunk boundary sums its corner terms as
+    two partials instead of one chain — ULP-level (<=5e-7 measured) vs the
+    unchunked matmul, same exactness class as any bilinear formulation.
+    """
+    b, h, w, c = feat.shape
+    hw = h * w
+    flat = feat.reshape(b, hw, c)
+    x = jnp.clip((grid[..., 0] + 1.0) * 0.5 * (w - 1), 0.0, w - 1)
+    y = jnp.clip((grid[..., 1] + 1.0) * 0.5 * (h - 1), 0.0, h - 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    wx = x - x0
+    wy = y - y0
+    corners = (
+        ((y0 * w + x0).astype(jnp.int32), (1 - wx) * (1 - wy)),
+        ((y0 * w + x1).astype(jnp.int32), wx * (1 - wy)),
+        ((y1 * w + x0).astype(jnp.int32), (1 - wx) * wy),
+        ((y1 * w + x1).astype(jnp.int32), wx * wy),
+    )
+    out = None
+    for lo in range(0, hw, chunk):
+        n = min(chunk, hw - lo)
+        wk = None
+        for idx, wgt in corners:
+            local = idx - lo
+            inb = (local >= 0) & (local < n)
+            oh = jax.nn.one_hot(
+                jnp.where(inb, local, 0), n, dtype=feat.dtype
+            )
+            term = oh * (wgt * inb)[..., None]
+            wk = term if wk is None else wk + term
+        part = jnp.einsum("bph,bhc->bpc", wk, flat[:, lo:lo + n])
+        out = part if out is None else out + part
+    return out
+
+
 def grid_sample_bilinear_slices(feat: jax.Array, grid: jax.Array) -> jax.Array:
     """Bilinear sampling fetching each point's 2x2xC footprint as ONE
     lax.gather slice (vs 4 scalar-row gathers) — bit-identical results.
@@ -227,6 +278,7 @@ def multiscale_point_features(
     nearest: bool = False,
     matmul_small_levels: bool = True,
     slice_gather: bool = False,
+    chunked_max_table: int = 0,
 ) -> jax.Array:
     """Gather and channel-concat features from every pyramid level.
 
@@ -249,6 +301,11 @@ def multiscale_point_features(
             parts.append(grid_sample_nearest(feat, grid))
         elif matmul_small_levels and hw <= MATMUL_GATHER_MAX_TABLE:
             parts.append(grid_sample_bilinear_matmul(feat, grid))
+        elif matmul_small_levels and hw <= chunked_max_table:
+            # middle levels (stride8) on the MXU via chunked einsums; the
+            # knob is cfg.gather_chunked_max_table (0 = stay on the gather
+            # unit; measured A/B in docs/PERFORMANCE.md)
+            parts.append(grid_sample_bilinear_matmul_chunked(feat, grid))
         elif slice_gather:
             parts.append(grid_sample_bilinear_slices(feat, grid))
         else:

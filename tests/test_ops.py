@@ -78,6 +78,51 @@ def test_matmul_gather_exactly_matches_gather():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_chunked_matmul_gather_bit_exact():
+    """grid_sample_bilinear_matmul_chunked must match the unchunked matmul
+    and the 4-corner gather to ULP tolerance on a 1024-entry table (the
+    stride8 shape it targets), including border/clamped points and corners
+    straddling chunk edges (those reassociate the corner sum -> not bitwise,
+    see the op docstring)."""
+    from hoisdf_tpu.ops.grid_sample import (
+        grid_sample_bilinear_matmul,
+        grid_sample_bilinear_matmul_chunked,
+    )
+
+    rng = np.random.RandomState(13)
+    feat = jnp.asarray(rng.randn(2, 32, 32, 24).astype(np.float32))
+    grid = jnp.asarray(rng.rand(2, 300, 2).astype(np.float32) * 2.4 - 1.2)
+    # Pin some points exactly on chunk-straddling rows (row 7->8 crosses the
+    # 256-entry chunk boundary at index 256).
+    grid = grid.at[0, :8, 1].set(
+        jnp.linspace(-1 + 2 * 7.2 / 31, -1 + 2 * 8.2 / 31, 8)
+    )
+    a = grid_sample_bilinear_matmul(feat, grid)
+    b = grid_sample_bilinear_matmul_chunked(feat, grid)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+    c = grid_sample_bilinear(feat, grid)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(c), atol=2e-6)
+
+
+def test_multiscale_routing_chunked_matches_default():
+    """chunked_max_table routing must not change multiscale results."""
+    from hoisdf_tpu.ops.grid_sample import multiscale_point_features
+
+    rng = np.random.RandomState(17)
+    pyr = {
+        "stride8": jnp.asarray(rng.randn(2, 32, 32, 6).astype(np.float32)),
+        "stride16": jnp.asarray(rng.randn(2, 16, 16, 5).astype(np.float32)),
+    }
+    grid = jnp.asarray(rng.rand(2, 50, 2).astype(np.float32) * 2 - 1)
+    base = multiscale_point_features(pyr, grid, ("stride8", "stride16"))
+    routed = multiscale_point_features(
+        pyr, grid, ("stride8", "stride16"), chunked_max_table=1024
+    )
+    np.testing.assert_allclose(
+        np.asarray(base), np.asarray(routed), atol=1e-5
+    )
+
+
 def test_fast_gather_forward_and_feat_grad_match_reference():
     """grid_sample_bilinear_fast: slice-gather forward and hand-written
     scatter-add backward must match the 4-corner formulation (incl. border
