@@ -194,7 +194,13 @@ def get_config(setting: str = "dexycb", **overrides) -> Config:
     else:
         base.update(small_dexycb=("full" not in setting))
     base.update(overrides)
-    return Config(**base)
+    # JSON-sourced overrides (--cfg KEY=[..]) deliver arrays as lists;
+    # Config rides jit as a static argument, so every field must stay
+    # hashable — normalize (nested) lists to tuples.
+    def _tup(v):
+        return tuple(_tup(x) for x in v) if isinstance(v, list) else v
+
+    return Config(**{k: _tup(v) for k, v in base.items()})
 
 
 def parse_cfg_overrides(pairs) -> dict:

@@ -36,3 +36,14 @@ def test_bbox21_and_diameter():
     assert d >= extents.max() - 1e-5  # at least the largest axis extent
     assert d <= np.linalg.norm(extents) + 1e-5  # at most the box diagonal
     assert mesh_radius(verts) <= d
+
+
+def test_cfg_override_lists_become_hashable_tuples():
+    """--cfg JSON array overrides must yield a hashable Config (it rides
+    jit as a static argument)."""
+    from hoisdf_tpu.config import get_config, parse_cfg_overrides
+
+    ov = parse_cfg_overrides(["hier_levels=[[4,64],[2,128]]"])
+    cfg = get_config("dexycb", **ov)
+    assert cfg.hier_levels == ((4, 64), (2, 128))
+    hash(cfg)  # would raise TypeError on a list-typed field
