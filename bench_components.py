@@ -41,6 +41,12 @@ def main():
              "production default, see bench.py)",
     )
     parser.add_argument(
+        "--train-setting", default="dexycb",
+        choices=["dexycb", "dexycb_full", "ho3d", "ho3d_render"],
+        help="config preset for --train (ho3d_render = BASELINE.json "
+             "config 5: big decoder + IK head + render extension)",
+    )
+    parser.add_argument(
         "--train-batch", type=int, default=None,
         help="per-chip batch for --train (default 22 = reference parity; "
              "the reference's 22 was a GPU memory limit, larger batches can "
@@ -175,7 +181,8 @@ def main():
         from hoisdf_tpu.train import create_train_state, make_train_step
 
         cfg = get_config(
-            "dexycb", compute_dtype="float32" if args.cpu else "bfloat16",
+            args.train_setting,
+            compute_dtype="float32" if args.cpu else "bfloat16",
             sdf_infer_mode=args.sdf_infer_mode,
             **({"resnet_type": 18, "hidden_dim": 64, "dim_feedforward": 128,
                 "enc_layers": 2, "dec_layers": 2, "num_samp_hand": 32,
@@ -193,7 +200,13 @@ def main():
             cfg, model, jax.random.PRNGKey(0), t_inputs, 1000
         )
         step = make_train_step(cfg, model, buffers, donate_state=True)
-        for name, use_pre in (("train_presampled", True), ("train_field", False)):
+        setting_tag = (
+            "" if args.train_setting == "dexycb" else f"_{args.train_setting}"
+        )
+        for name, use_pre in (
+            (f"train_presampled{setting_tag}", True),
+            (f"train_field{setting_tag}", False),
+        ):
             # fresh buffer copy per branch: the donated state is consumed
             s = jax.tree_util.tree_map(jnp.copy, state)
             def one():
