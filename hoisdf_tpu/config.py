@@ -155,9 +155,12 @@ class Config:
     approx_selection_topk: bool = False
     # Route pyramid levels with 256 < H*W <= this onto the MXU via the
     # chunked one-hot matmul (ops/grid_sample.py::
-    # grid_sample_bilinear_matmul_chunked; bit-exact bilinear).  1024 moves
-    # the stride8 level off the gather unit; 0 keeps it on lax.gather.
-    gather_chunked_max_table: int = 0
+    # grid_sample_bilinear_matmul_chunked; exact bilinear).  1024 moves the
+    # stride8 level off the gather unit; 0 keeps it on lax.gather.  TPU
+    # backends only (models/hoisdf.py gates it — the formulation loses on
+    # CPU, which has no MXU): measured 418.1 vs 412.3 f/s (p50 3.60 vs
+    # 3.68 ms) same-session A/B at the default eval point.
+    gather_chunked_max_table: int = 1024
     mesh_axis_data: str = "data"
     num_data_workers: int = 15
     seed: int = 0

@@ -135,6 +135,16 @@ class HOISDF(nn.Module):
 
     # ---- field queries -------------------------------------------------------
 
+    def _chunked_table(self) -> int:
+        """cfg.gather_chunked_max_table, active on MXU backends only — the
+        chunked one-hot matmul loses to lax.gather on CPU (no MXU), so CPU
+        runs (and the test suite) stay on the gather unit.  Results are
+        exact either way (ops/grid_sample.py)."""
+        return (
+            self.cfg.gather_chunked_max_table
+            if jax.default_backend() in ("tpu", "axon") else 0
+        )
+
     def _gather_grid(self, points_scaled, center, cam_intr, sdf_scale):
         """Scaled-frame points -> detached [-1,1] sampling grid + camera pts
         (main/model.py:145-157 / 190-198; grids are detached there)."""
@@ -150,7 +160,7 @@ class HOISDF(nn.Module):
         grid, cam_pts = self._gather_grid(points_scaled, center, cam_intr, sdf_scale)
         feats = multiscale_point_features(
             pyramid, grid, self.cfg.multiscale_layers,
-            chunked_max_table=self.cfg.gather_chunked_max_table,
+            chunked_max_table=self._chunked_table(),
         )
         return self.linear_transformerin(feats), cam_pts
 
@@ -164,7 +174,7 @@ class HOISDF(nn.Module):
         feats = multiscale_point_features(
             pyramid, grid, c.multiscale_layers, nearest=nearest,
             slice_gather=slice_gather,
-            chunked_max_table=c.gather_chunked_max_table,
+            chunked_max_table=self._chunked_table(),
         )
         points_fea = self.linear_sdfin(feats)
         posenc = nerf_positional_encoding(points_scaled, c.nerf_num_freqs)
