@@ -149,6 +149,18 @@ class Config:
     # Nearest-texel feature gather for the dense *selection* stage only
     # (4x fewer gathered bytes; final token features stay bilinear-exact).
     infer_gather_nearest: bool = False
+    # Fold the hand+obj hier cascades into ONE grouped cascade
+    # (models/hoisdf.py::sdf_infer_pair): pyramid gathers / token projection
+    # run once on [B, 2M] merged points per stage instead of twice on
+    # [B, M]; per-group selection is exactly identical to two separate
+    # cascades.  hier mode only (other modes ignore it).
+    paired_sdf_infer: bool = False
+    # Token features + cross-field queries off ONE merged [B, Ph+Po] pyramid
+    # gather (models/hoisdf.py::token_and_cross_queries): the cross queries
+    # sample at the same camera points as the token features, so the 4
+    # sampling passes (and their backward scatter-adds) collapse to 1.
+    # Applies to every branch (eval + both train branches).
+    merged_field_queries: bool = False
     # TPU-hardware approx_max_k for the hier cascade's *pruning* stages
     # (recall 0.95 on the conservative keep-set; the final point top-K stays
     # exact lax.top_k).

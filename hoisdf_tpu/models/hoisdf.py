@@ -45,6 +45,7 @@ from hoisdf_tpu.ops.grid_sample import (
 from hoisdf_tpu.ops.nerf import nerf_positional_encoding
 from hoisdf_tpu.ops.pallas.sdf_mlp import fold_weight_norm, sdf_mlp_fused
 from hoisdf_tpu.ops.point_sampling import (
+    scaled_to_cam,
     sdf_guided_sample,
     sdf_guided_sample_coarse2fine,
     sdf_guided_sample_hierarchical,
@@ -276,6 +277,188 @@ class HOISDF(nn.Module):
         posenc = nerf_positional_encoding(points, c.nerf_num_freqs)
         return points, sdf, posenc
 
+    def sdf_infer_pair(
+        self, pyramid, mano_root, obj_center, cam_intr, bbox_hand, bbox_obj,
+        *, train=False,
+    ):
+        """Hand + object field-guided sampling as ONE grouped hier cascade.
+
+        The two fields share every image-level input (pyramid, intrinsics),
+        so their cascades are folded together: the batch axis carries both
+        groups b-major ([b0·hand, b0·obj, b1·hand, ...]) for the selection
+        glue (bbox test, per-group top-K, base subdivision), while the field
+        query merges the groups along the POINT axis — every pyramid gather,
+        ``linear_sdfin`` projection and posenc runs once on [B, 2M] points
+        instead of twice on [B, M].  Only the final SDF MLP splits (the two
+        decoders have different weights).  Per-group probes, scores and
+        top-K are exactly those of two separate ``sdf_infer`` calls
+        (parity: tests/test_model_variants.py::test_paired_sampler_parity);
+        the object group's K points are the first ``num_samp_obj`` of the
+        shared best-first ordering, identical to its own top-K.
+
+        Replaces the reference's two sequential no-grad sampling passes
+        (main/model.py:455-463) on the production hier path.
+        """
+        c = self.cfg
+        b = mano_root.shape[0]
+
+        if self.is_initializing():
+            # Materialize both decoders' params outside the cascade
+            # (flax cannot create params inside lax control flow).
+            dummy = jnp.zeros((b, 1, 3), mano_root.dtype)
+            self.sdf_forward(
+                pyramid, dummy, mano_root, cam_intr, c.hand_sdf_scale,
+                "hand", train=train, clamp=False,
+            )
+            self.sdf_forward(
+                pyramid, dummy, obj_center, cam_intr, c.obj_sdf_scale,
+                "obj", train=train, clamp=False,
+            )
+
+        use_fused = (
+            c.fused_sdf_infer
+            and not self.is_initializing()
+            and jax.default_backend() in ("tpu", "axon")
+        )
+        folded = {
+            "hand": jax.lax.stop_gradient(
+                fold_weight_norm(self.hand_sdf_decoder.variables["params"])
+            ),
+            "obj": jax.lax.stop_gradient(
+                fold_weight_norm(self.obj_sdf_decoder.variables["params"])
+            ),
+        } if use_fused else None
+
+        centers = jnp.stack([mano_root, obj_center], axis=1).reshape(2 * b, 3)
+        bboxes = jnp.stack([bbox_hand, bbox_obj], axis=1).reshape(2 * b, 4)
+        scales = jnp.tile(
+            jnp.asarray([c.hand_sdf_scale, c.obj_sdf_scale], jnp.float32), b
+        )
+        cam2 = jnp.repeat(cam_intr, 2, axis=0)
+
+        def sdf_fn(pts):  # [2B, M, 3] b-major -> [2B, M]
+            m = pts.shape[1]
+            cam_pts = scaled_to_cam(pts, centers, scales)
+            merged_cam = cam_pts.reshape(b, 2 * m, 3)
+            merged_scaled = pts.reshape(b, 2 * m, 3)
+            pix = project_points(merged_cam, cam_intr)
+            grid = jax.lax.stop_gradient(pixels_to_grid(pix, c.input_img_shape))
+            feats = multiscale_point_features(
+                pyramid, grid, c.multiscale_layers,
+                nearest=c.infer_gather_nearest, slice_gather=True,
+                chunked_max_table=self._chunked_table(),
+            )
+            points_fea = self.linear_sdfin(feats)
+            posenc = nerf_positional_encoding(merged_scaled, c.nerf_num_freqs)
+            dec_in = jnp.concatenate(
+                [points_fea.astype(jnp.float32), posenc, merged_scaled], axis=-1
+            )
+            if self.compute_dt is not None:
+                dec_in = dec_in.astype(self.compute_dt)
+            halves = dec_in.reshape(b, 2, m, dec_in.shape[-1])
+            outs = []
+            for g, which in enumerate(("hand", "obj")):
+                flat = halves[:, g].reshape(b * m, -1)
+                if use_fused:
+                    # Whole sampler is no-grad (main/model.py:463); sever at
+                    # the kernel inputs to keep the Pallas call (no VJP rule)
+                    # out of the autodiff graph.
+                    flat = jax.lax.stop_gradient(flat)
+                    sdf = sdf_mlp_fused(flat, folded[which]).astype(jnp.float32)
+                else:
+                    decoder = (
+                        self.hand_sdf_decoder if which == "hand"
+                        else self.obj_sdf_decoder
+                    )
+                    sdf, _ = decoder(flat, train=train)
+                    sdf = sdf.astype(jnp.float32)
+                outs.append(sdf.reshape(b, m))
+            return jnp.stack(outs, axis=1).reshape(2 * b, m)
+
+        k = max(c.num_samp_hand, c.num_samp_obj)
+        points, sdf = sdf_guided_sample_hierarchical(
+            sdf_fn, centers, cam2, bboxes,
+            sdf_scale=scales, num_points=k, bins_n=c.bins_n,
+            levels=c.hier_levels, clamp=c.clamping_distance,
+            approx_topk=c.approx_selection_topk,
+        )
+        points = jax.lax.stop_gradient(points).reshape(b, 2, k, 3)
+        sdf = jax.lax.stop_gradient(sdf).reshape(b, 2, k, 1)
+        hand_points = points[:, 0, : c.num_samp_hand]
+        obj_points = points[:, 1, : c.num_samp_obj]
+        hand_sdf = sdf[:, 0, : c.num_samp_hand]
+        obj_sdf = sdf[:, 1, : c.num_samp_obj]
+        hand_posenc = nerf_positional_encoding(hand_points, c.nerf_num_freqs)
+        obj_posenc = nerf_positional_encoding(obj_points, c.nerf_num_freqs)
+        return (
+            (hand_points, hand_sdf, hand_posenc),
+            (obj_points, obj_sdf, obj_posenc),
+        )
+
+    def token_and_cross_queries(
+        self, pyramid, hand_points, obj_points, mano_root, obj_center,
+        cam_intr, *, train=False,
+    ):
+        """Token features + cross-field SDF queries off ONE merged gather.
+
+        The reference runs four pyramid-sampling passes here (hand tokens,
+        obj tokens, hand-in-obj-field, obj-in-hand-field;
+        main/model.py:145-179 + 495-518).  But the cross queries sample at
+        the SAME camera points as the token features — the reference's
+        scaled-frame round trip ``((cam - c)·s)/s + c`` reproduces the same
+        pixels up to fp rounding — so the gathered features can be reused
+        outright, and the two token gathers merge along the point axis.
+        One [B, Ph+Po] gather (and one backward scatter-add) replaces four.
+
+        Returns everything the token-assembly stage consumes.
+        """
+        c = self.cfg
+        ph = hand_points.shape[1]
+        hand_cam = scaled_to_cam(hand_points, mano_root, c.hand_sdf_scale)
+        obj_cam = scaled_to_cam(obj_points, obj_center, c.obj_sdf_scale)
+        merged_cam = jnp.concatenate([hand_cam, obj_cam], axis=1)
+        pix = project_points(merged_cam, cam_intr)
+        grid = jax.lax.stop_gradient(pixels_to_grid(pix, c.input_img_shape))
+        feats = multiscale_point_features(
+            pyramid, grid, c.multiscale_layers,
+            chunked_max_table=self._chunked_table(),
+        )  # [B, Ph+Po, sum(C_l)] — grad path (custom-VJP slice gather)
+
+        tok = self.linear_transformerin(feats)
+        hand_fea, obj_fea = tok[:, :ph], tok[:, ph:]
+
+        # Cross-field queries, reusing the merged gather.  The *_notrans
+        # frames reproduce the reference's self-annotated "# bug" (unscaled
+        # cross frames, main/model.py:498,508) for checkpoint parity.
+        hand_o_points = (hand_cam - obj_center[:, None, :]) * c.obj_sdf_scale
+        obj_h_points = (obj_cam - mano_root[:, None, :]) * c.hand_sdf_scale
+        cross_fea = self.linear_sdfin(feats)
+        hand_o_posenc = nerf_positional_encoding(hand_o_points, c.nerf_num_freqs)
+        obj_h_posenc = nerf_positional_encoding(obj_h_points, c.nerf_num_freqs)
+
+        def cross_sdf(fea, posenc, pts, decoder):
+            dec_in = jnp.concatenate(
+                [fea.astype(jnp.float32), posenc, pts], axis=-1
+            )
+            if self.compute_dt is not None:
+                dec_in = dec_in.astype(self.compute_dt)
+            sdf, _ = decoder(dec_in.reshape(-1, dec_in.shape[-1]), train=train)
+            sdf = sdf.reshape(*pts.shape[:2], 1).astype(jnp.float32)
+            return jnp.clip(sdf, -c.clamping_distance, c.clamping_distance)
+
+        hand_o_sdf = cross_sdf(
+            cross_fea[:, :ph], hand_o_posenc, hand_o_points,
+            self.obj_sdf_decoder,
+        )
+        obj_h_sdf = cross_sdf(
+            cross_fea[:, ph:], obj_h_posenc, obj_h_points,
+            self.hand_sdf_decoder,
+        )
+        return (
+            hand_fea, obj_fea, hand_cam, obj_cam,
+            hand_o_sdf, hand_o_posenc, obj_h_sdf, obj_h_posenc,
+        )
+
     # ---- full forward --------------------------------------------------------
 
     def __call__(
@@ -341,6 +524,13 @@ class HOISDF(nn.Module):
                 pyramid, obj_points, obj_center, cam_intr, c.obj_sdf_scale,
                 "obj", train=train,
             )
+        elif c.sdf_infer_mode == "hier" and c.paired_sdf_infer:
+            (hand_points, hand_sdf, hand_posenc), (
+                obj_points, obj_sdf, obj_posenc,
+            ) = self.sdf_infer_pair(
+                pyramid, mano_root, obj_center, cam_intr,
+                batch["bbox_hand"], batch["bbox_obj"], train=train,
+            )
         else:
             hand_points, hand_sdf, hand_posenc = self.sdf_infer(
                 pyramid, mano_root, cam_intr, batch["bbox_hand"],
@@ -358,30 +548,43 @@ class HOISDF(nn.Module):
             jax.lax.stop_gradient(obj_sdf), self.obj_sigmoid_beta
         )
 
-        hand_fea, hand_cam = self.point_transformer_features(
-            pyramid, hand_points, mano_root, cam_intr, c.hand_sdf_scale
-        )
-        hand_points_notrans = hand_cam - mano_root[:, None, :]
-        obj_fea, obj_cam = self.point_transformer_features(
-            pyramid, obj_points, obj_center, cam_intr, c.obj_sdf_scale
-        )
-        obj_points_notrans = obj_cam - obj_center[:, None, :]
+        if c.merged_field_queries:
+            (
+                hand_fea, obj_fea, hand_cam, obj_cam,
+                hand_o_sdf, hand_o_posenc, obj_h_sdf, obj_h_posenc,
+            ) = self.token_and_cross_queries(
+                pyramid, hand_points, obj_points, mano_root, obj_center,
+                cam_intr, train=train,
+            )
+            hand_points_notrans = hand_cam - mano_root[:, None, :]
+            obj_points_notrans = obj_cam - obj_center[:, None, :]
+            hand_o_points_notrans = hand_cam - obj_center[:, None, :]
+            obj_h_points_notrans = obj_cam - mano_root[:, None, :]
+        else:
+            hand_fea, hand_cam = self.point_transformer_features(
+                pyramid, hand_points, mano_root, cam_intr, c.hand_sdf_scale
+            )
+            hand_points_notrans = hand_cam - mano_root[:, None, :]
+            obj_fea, obj_cam = self.point_transformer_features(
+                pyramid, obj_points, obj_center, cam_intr, c.obj_sdf_scale
+            )
+            obj_points_notrans = obj_cam - obj_center[:, None, :]
 
-        # Cross-field queries (model.py:495-518).  The *_notrans frames below
-        # reproduce the reference's self-annotated "# bug" (unscaled cross
-        # frames, main/model.py:498,508) for checkpoint parity.
-        hand_o_points = (hand_cam - obj_center[:, None, :]) * c.obj_sdf_scale
-        hand_o_points_notrans = hand_cam - obj_center[:, None, :]
-        hand_o_sdf, _, hand_o_posenc = self.sdf_forward(
-            pyramid, hand_o_points, obj_center, cam_intr, c.obj_sdf_scale,
-            "obj", train=train,
-        )
-        obj_h_points = (obj_cam - mano_root[:, None, :]) * c.hand_sdf_scale
-        obj_h_points_notrans = obj_cam - mano_root[:, None, :]
-        obj_h_sdf, _, obj_h_posenc = self.sdf_forward(
-            pyramid, obj_h_points, mano_root, cam_intr, c.hand_sdf_scale,
-            "hand", train=train,
-        )
+            # Cross-field queries (model.py:495-518).  The *_notrans frames
+            # reproduce the reference's self-annotated "# bug" (unscaled cross
+            # frames, main/model.py:498,508) for checkpoint parity.
+            hand_o_points = (hand_cam - obj_center[:, None, :]) * c.obj_sdf_scale
+            hand_o_points_notrans = hand_cam - obj_center[:, None, :]
+            hand_o_sdf, _, hand_o_posenc = self.sdf_forward(
+                pyramid, hand_o_points, obj_center, cam_intr, c.obj_sdf_scale,
+                "obj", train=train,
+            )
+            obj_h_points = (obj_cam - mano_root[:, None, :]) * c.hand_sdf_scale
+            obj_h_points_notrans = obj_cam - mano_root[:, None, :]
+            obj_h_sdf, _, obj_h_posenc = self.sdf_forward(
+                pyramid, obj_h_points, mano_root, cam_intr, c.hand_sdf_scale,
+                "hand", train=train,
+            )
         sigma_hand_o = sdf_attention_weight(
             jax.lax.stop_gradient(hand_o_sdf), self.obj_sigmoid_beta
         )

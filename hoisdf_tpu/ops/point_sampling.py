@@ -86,7 +86,7 @@ def sdf_guided_sample(
     def eval_chunk(state: TopKState, inp):
         pts, ids = inp  # [C,3], [C]
         pts_b = jnp.broadcast_to(pts[None], (b, chunk, 3))
-        cam_pts = pts_b / sdf_scale + center[:, None, :]
+        cam_pts = scaled_to_cam(pts_b, center, sdf_scale)
         p2d = jnp.einsum("bpc,bkc->bpk", cam_pts, cam_intr)
         pix = p2d[..., :2] / p2d[..., 2:3]
         in_box = (
@@ -223,9 +223,19 @@ def sdf_guided_sample_hierarchical(
     return points, jnp.clip(sdf, -clamp, clamp)[..., None]
 
 
+def scaled_to_cam(pts_scaled, center, sdf_scale):
+    """Scaled-SDF-frame points -> camera frame.  ``sdf_scale`` is a python
+    scalar or a per-item [B] array (the grouped hand+obj sampler folds two
+    fields with different scales into the batch axis)."""
+    scale = jnp.asarray(sdf_scale, pts_scaled.dtype)
+    if scale.ndim == 1:
+        scale = scale[:, None, None]
+    return pts_scaled / scale + center[:, None, :]
+
+
 def _in_bbox(pts_scaled, center, cam_intr, bbox, sdf_scale):
     """Project scaled-frame points and test against the 2D pixel bbox."""
-    cam_pts = pts_scaled / sdf_scale + center[:, None, :]
+    cam_pts = scaled_to_cam(pts_scaled, center, sdf_scale)
     p2d = jnp.einsum("bpc,bkc->bpk", cam_pts, cam_intr)
     pix = p2d[..., :2] / p2d[..., 2:3]
     return (

@@ -144,3 +144,94 @@ def test_hier_sampler_variant_forward():
     pts = np.asarray(out["hand_points"])
     assert (np.abs(pts) <= 1.0 + 1e-6).all()
     assert np.isfinite(np.asarray(out["hand_sdf"])).all()
+
+
+def test_paired_sampler_parity():
+    """cfg.paired_sdf_infer folds the hand+obj cascades into one grouped
+    cascade (models/hoisdf.py::sdf_infer_pair).  Per-group probes, scores
+    and top-K are mathematically those of two separate sdf_infer calls, so
+    the full forward must produce the SAME selected points/SDFs and (to fp
+    tolerance) the same head outputs."""
+    import dataclasses
+
+    from test_model import tiny_config
+
+    cfg = tiny_config(sdf_infer_mode="hier", hier_levels=((4, 16), (2, 48)))
+    cfg_pair = dataclasses.replace(cfg, paired_sdf_infer=True)
+    model = build_model(cfg)
+    model_pair = build_model(cfg_pair)
+    batch = tiny_batch(cfg, b=2, train=True)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample_noise": jax.random.PRNGKey(1)},
+        batch, use_presampled=True, dist_range=0.03,
+    )
+    out_a = model.apply(variables, batch, use_presampled=False)
+    # Same variables drive both module variants: sdf_infer_pair materializes
+    # the identical submodule tree.
+    out_b = model_pair.apply(variables, batch, use_presampled=False)
+
+    np.testing.assert_array_equal(
+        np.asarray(out_a["hand_points"]), np.asarray(out_b["hand_points"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_a["obj_points"]), np.asarray(out_b["obj_points"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_a["hand_sdf"]), np.asarray(out_b["hand_sdf"]),
+        atol=1e-6, rtol=0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_a["obj_sdf"]), np.asarray(out_b["obj_sdf"]),
+        atol=1e-6, rtol=0,
+    )
+    for key in ("mano_shape", "obj_rot", "obj_trans", "hand_off"):
+        np.testing.assert_allclose(
+            np.asarray(out_a[key]), np.asarray(out_b[key]),
+            atol=1e-5, rtol=1e-5, err_msg=key,
+        )
+
+
+def test_merged_field_queries_parity():
+    """cfg.merged_field_queries reuses one [B, Ph+Po] gather for token
+    features AND cross-field queries.  The cross queries sample at the same
+    camera points as the tokens (the unmerged path's scaled-frame round trip
+    only adds fp rounding), so outputs must agree to fp tolerance, and the
+    merged path must stay differentiable."""
+    import dataclasses
+
+    from test_model import tiny_config
+
+    cfg = tiny_config(sdf_infer_mode="hier", hier_levels=((4, 16), (2, 48)))
+    cfg_m = dataclasses.replace(cfg, merged_field_queries=True)
+    model = build_model(cfg)
+    model_m = build_model(cfg_m)
+    batch = tiny_batch(cfg, b=2, train=True)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample_noise": jax.random.PRNGKey(1)},
+        batch, use_presampled=True, dist_range=0.03,
+    )
+    out_a = model.apply(variables, batch, use_presampled=False)
+    out_b = model_m.apply(variables, batch, use_presampled=False)
+    np.testing.assert_array_equal(
+        np.asarray(out_a["hand_points"]), np.asarray(out_b["hand_points"])
+    )
+    for key in ("mano_shape", "obj_rot", "obj_trans", "hand_off", "hand_cls"):
+        np.testing.assert_allclose(
+            np.asarray(out_a[key]), np.asarray(out_b[key]),
+            atol=5e-4, rtol=1e-3, err_msg=key,
+        )
+
+    # Gradients flow through the merged gather (presampled train branch).
+    def loss_fn(params):
+        out = model_m.apply(
+            {**variables, "params": params}, batch, use_presampled=True,
+            dist_range=0.0, train=False,
+            rngs={"sample_noise": jax.random.PRNGKey(2)},
+        )
+        return jnp.sum(out["hand_off"] ** 2) + jnp.sum(out["obj_rot"] ** 2)
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    gnorm = sum(
+        float(jnp.sum(jnp.abs(g))) for g in jax.tree_util.tree_leaves(grads)
+    )
+    assert np.isfinite(gnorm) and gnorm > 0
