@@ -83,39 +83,13 @@ def main():
         # Dense-scan-oracle quality table at the full production scale on
         # stress geometry (the config.hier_levels promotion gate; see
         # ops/selection_quality.py and config.py for the recorded decision).
-        from hoisdf_tpu.mano.layer import ManoBuffers as _MB, mano_forward
-        from hoisdf_tpu.mano.model import make_synthetic_mano as _msm
-        from hoisdf_tpu.ops.selection_quality import gate, selection_quality
-
-        buffers_q = _MB.from_model(_msm(0))
-        rq = np.random.RandomState(3)
-        b = 2
-        pose = jnp.asarray(rq.randn(b, 48).astype(np.float32) * 0.6)
-        betas = jnp.asarray(rq.randn(b, 10).astype(np.float32) * 0.5)
-        verts_mm, joints_mm = mano_forward(buffers_q, pose, betas)
-        verts_s = (verts_mm - joints_mm[:, :1]) / 1000.0 * 3.1 * 2.5
-        obj = jnp.asarray(
-            rq.randn(b, 200, 3).astype(np.float32) * 0.35
-            + np.array([0.3, -0.2, 0.1], np.float32)
+        from hoisdf_tpu.ops.selection_quality import (
+            gate,
+            selection_quality,
+            stress_geometry,
         )
-        surf = jnp.concatenate([verts_s, obj], axis=1)
 
-        def field(pts):
-            p2 = (pts**2).sum(-1)
-            v2 = (surf**2).sum(-1)
-            cross = jnp.einsum("bmc,bvc->bmv", pts, surf)
-            return jnp.sqrt(
-                jnp.maximum(p2[..., None] + v2[:, None, :] - 2 * cross, 0)
-            ).min(-1)
-
-        center = jnp.asarray(np.tile(np.array([[0, 0, 0.6]], np.float32), (b, 1)))
-        cam = jnp.asarray(np.tile(
-            np.array([[[600.0, 0, 320], [0, 600, 240], [0, 0, 1]]], np.float32),
-            (b, 1, 1),
-        ))
-        bbox = jnp.asarray(
-            np.tile(np.array([[200.0, 150.0, 480.0, 360.0]], np.float32), (b, 1))
-        )
+        field, center, cam, bbox = stress_geometry(batch=2, seed=3)
         for name, levels in (
             ("hier_default_4x256_2x512", ((4, 256), (2, 512))),
             ("hier_prev_default_4x512_2x896", ((4, 512), (2, 896))),

@@ -107,6 +107,53 @@ def gate(report: Dict[str, np.ndarray], *, min_overlap: float = 0.95,
     )
 
 
+def stress_geometry(batch: int = 2, seed: int = 3, sdf_scale: float = 3.1):
+    """The promotion-gate stress scene at full production scale: a
+    2.5x-scaled posed MANO hand (thin fingers stress the coarse pruning
+    stages) plus a random object blob, viewed through a tight pixel bbox.
+    Returns ``(field, center, cam_intr, bbox)`` ready for
+    ``selection_quality(..., sdf_scale=3.1, num_points=600, bins_n=64)``.
+
+    Shared by tests/test_point_sampling.py::test_hier_levels_full_scale_
+    quality_gate, ``bench_components.py --selection-quality`` and
+    ``scripts/levels_sweep.py`` so the committed gate and any sweep are
+    measured on the identical scene.
+    """
+    from hoisdf_tpu.mano.layer import ManoBuffers, mano_forward
+    from hoisdf_tpu.mano.model import make_synthetic_mano
+
+    buffers = ManoBuffers.from_model(make_synthetic_mano(0))
+    rng = np.random.RandomState(seed)
+    pose = jnp.asarray(rng.randn(batch, 48).astype(np.float32) * 0.6)
+    betas = jnp.asarray(rng.randn(batch, 10).astype(np.float32) * 0.5)
+    verts_mm, joints_mm = mano_forward(buffers, pose, betas)
+    verts_s = (verts_mm - joints_mm[:, :1]) / 1000.0 * sdf_scale * 2.5
+    obj = jnp.asarray(
+        rng.randn(batch, 200, 3).astype(np.float32) * 0.35
+        + np.array([0.3, -0.2, 0.1], np.float32)
+    )
+    surf = jnp.concatenate([verts_s, obj], axis=1)
+
+    def field(pts):  # [B, M, 3] -> unsigned distance to the scene surface
+        p2 = (pts**2).sum(-1)
+        v2 = (surf**2).sum(-1)
+        cross = jnp.einsum("bmc,bvc->bmv", pts, surf)
+        d2 = p2[..., None] + v2[:, None, :] - 2.0 * cross
+        return jnp.sqrt(jnp.maximum(d2, 0.0)).min(-1)
+
+    center = jnp.asarray(
+        np.tile(np.array([[0.0, 0.0, 0.6]], np.float32), (batch, 1))
+    )
+    cam = jnp.asarray(np.tile(
+        np.array([[[600.0, 0, 320], [0, 600, 240], [0, 0, 1]]], np.float32),
+        (batch, 1, 1),
+    ))
+    bbox = jnp.asarray(np.tile(
+        np.array([[200.0, 150.0, 480.0, 360.0]], np.float32), (batch, 1)
+    ))
+    return field, center, cam, bbox
+
+
 def hand_geometry_field(batch: int = 2, seed: int = 3, sdf_scale: float = 3.1):
     """True unsigned distance field of posed synthetic MANO hands in the
     scaled lattice frame — the hand-shaped oracle geometry the gate runs on

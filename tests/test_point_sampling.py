@@ -250,35 +250,13 @@ def test_hier_levels_full_scale_quality_gate():
     <= 1.05 per item), and the next-cheaper ((4,128),(2,256)) must FAIL it —
     proving the gate has teeth exactly where the default sits."""
     from hoisdf_tpu.config import Config
-    from hoisdf_tpu.mano.layer import ManoBuffers, mano_forward
-    from hoisdf_tpu.mano.model import make_synthetic_mano
-    from hoisdf_tpu.ops.selection_quality import gate, selection_quality
-
-    buffers = ManoBuffers.from_model(make_synthetic_mano(0))
-    rng = np.random.RandomState(3)
-    b = 2
-    pose = jnp.asarray(rng.randn(b, 48).astype(np.float32) * 0.6)
-    betas = jnp.asarray(rng.randn(b, 10).astype(np.float32) * 0.5)
-    verts_mm, joints_mm = mano_forward(buffers, pose, betas)
-    verts_s = (verts_mm - joints_mm[:, :1]) / 1000.0 * 3.1 * 2.5
-    obj = jnp.asarray(
-        rng.randn(b, 200, 3).astype(np.float32) * 0.35
-        + np.array([0.3, -0.2, 0.1], np.float32)
+    from hoisdf_tpu.ops.selection_quality import (
+        gate,
+        selection_quality,
+        stress_geometry,
     )
-    surf = jnp.concatenate([verts_s, obj], axis=1)
 
-    def field(pts):
-        p2 = (pts**2).sum(-1)
-        v2 = (surf**2).sum(-1)
-        cross = jnp.einsum("bmc,bvc->bmv", pts, surf)
-        return jnp.sqrt(jnp.maximum(p2[..., None] + v2[:, None, :] - 2 * cross, 0)).min(-1)
-
-    center = jnp.asarray(np.tile(np.array([[0.0, 0.0, 0.6]], np.float32), (b, 1)))
-    cam = jnp.asarray(np.tile(
-        np.array([[[600.0, 0, 320], [0, 600, 240], [0, 0, 1]]], np.float32),
-        (b, 1, 1),
-    ))
-    bbox = jnp.asarray(np.tile(np.array([[200.0, 150.0, 480.0, 360.0]], np.float32), (b, 1)))
+    field, center, cam, bbox = stress_geometry(batch=2, seed=3)
 
     default_levels = Config().hier_levels
     assert default_levels == ((4, 256), (2, 512))  # the promoted default
