@@ -41,13 +41,14 @@ from hoisdf_tpu.ops.selection_quality import (  # noqa: E402
 
 DEFAULT_CANDIDATES = (
     ((4, 256), (2, 512)),          # current default: 10240 probes
-    ((4, 256), (2, 448)),          # 9728
-    ((4, 224), (2, 448)),          # 9472
-    ((4, 192), (2, 448)),          # 9216
     ((4, 192), (2, 384)),          # 8704
-    ((8, 192), (4, 256), (2, 512)),  # 8192: shrink the fixed coarse stage
-    ((8, 160), (4, 256), (2, 512)),  # 7936
+    ((4, 128), (2, 256)),          # 7168 (pre-fix: fails the gate)
+    ((4, 96), (2, 192)),           # 6400
+    ((8, 160), (4, 256), (2, 512)),  # 7936: shrink the fixed coarse stage
     ((8, 128), (4, 224), (2, 448)),  # 6912
+    ((8, 96), (4, 160), (2, 320)),   # 5120
+    ((8, 64), (4, 128), (2, 256)),   # 4096
+    ((8, 48), (4, 96), (2, 192)),    # 3200
 )
 
 

@@ -242,13 +242,60 @@ def test_hier_levels_selection_quality_on_hand_geometry():
             assert overlap >= min_overlap, (levels, b, overlap)
 
 
+def test_cell_overlap_bbox_conservative():
+    """A pruning-stage cell must be kept whenever ANY of its fine lattice
+    points projects in-box (the corner-AABB test of _cell_overlaps_bbox).
+    The pre-fix center-probe test wrongly pruned bbox-straddling cells —
+    measured as a keep-independent 3-8% top-600 selection loss vs the
+    dense-scan oracle (scripts/levels_sweep.py diagnosis)."""
+    from hoisdf_tpu.ops.point_sampling import _cell_overlaps_bbox, _in_bbox
+
+    rng = np.random.RandomState(0)
+    b, m, bins_n, factor = 3, 128, 64, 4
+    step = 2.0 / (bins_n - 1)
+    center = jnp.asarray(
+        np.array([[0.0, 0.0, 0.6]], np.float32) + rng.randn(b, 3) * 0.02
+    )
+    cam = jnp.asarray(np.tile(
+        np.array([[[600.0, 0, 320], [0, 600, 240], [0, 0, 1]]], np.float32),
+        (b, 1, 1),
+    ))
+    bbox = jnp.asarray(np.tile(
+        np.array([[260.0, 190.0, 420.0, 320.0]], np.float32), (b, 1)
+    ))
+    # random cell origins on the coarse grid; probe = center of the cell
+    oi = rng.randint(0, bins_n // factor, (b, m, 3)) * factor
+    probe = jnp.asarray(
+        oi.astype(np.float32) * step - 1.0 + (factor - 1) * 0.5 * step
+    )
+    kept = np.asarray(_cell_overlaps_bbox(
+        probe, factor, step, center, cam, bbox, 3.1
+    ))
+    # every fine lattice point of each cell, tested individually
+    offs = np.stack(np.meshgrid(*[np.arange(factor)] * 3, indexing="ij"),
+                    -1).reshape(-1, 3)
+    fine = (oi[:, :, None, :] + offs[None, None]).astype(np.float32) * step - 1.0
+    fine = jnp.asarray(fine.reshape(b, m * factor**3, 3))
+    pt_in = np.asarray(_in_bbox(fine, center, cam, bbox, 3.1)).reshape(
+        b, m, factor**3
+    )
+    any_in = pt_in.any(-1)
+    # conservative: no cell with an in-box lattice point may be pruned
+    assert not (any_in & ~kept).any(), int((any_in & ~kept).sum())
+    # and the test keeps its teeth: some cells ARE pruned
+    assert (~kept).any()
+
+
 def test_hier_levels_full_scale_quality_gate():
     """The round-3 default-levels decision (config.hier_levels): at the FULL
     production scale (64^3 lattice, K=600) on stress geometry (2.5x-scaled
-    hand + object blob + tight bbox), the promoted ((4,256),(2,512)) levels
-    must pass the dense-scan-oracle gate (overlap@K >= 0.95, mean|sdf| ratio
-    <= 1.05 per item), and the next-cheaper ((4,128),(2,256)) must FAIL it —
-    proving the gate has teeth exactly where the default sits."""
+    hand + object blob + tight bbox), the promoted levels must pass the
+    dense-scan-oracle gate (overlap@K >= 0.95, mean|sdf| ratio <= 1.05 per
+    item), and the cheaper ((4,128),(2,256)) must FAIL it — proving the gate
+    has teeth.  With the corner-AABB cell-visibility fix the passing
+    cascades are near-exact (sweep: overlap 1.0 across seeds 3/5/7 for
+    ((4,256),(2,512)) and ((8,160),(4,256),(2,512))); asserted at >= 0.99
+    to leave room for top-k tie-breaking drift across jax versions."""
     from hoisdf_tpu.config import Config
     from hoisdf_tpu.ops.selection_quality import (
         gate,
@@ -259,13 +306,12 @@ def test_hier_levels_full_scale_quality_gate():
     field, center, cam, bbox = stress_geometry(batch=2, seed=3)
 
     default_levels = Config().hier_levels
-    assert default_levels == ((4, 256), (2, 512))  # the promoted default
     rep = selection_quality(
         field, center, cam, bbox, sdf_scale=3.1, num_points=600, bins_n=64,
         levels=default_levels,
     )
     assert gate(rep), rep
-    assert (rep["overlap_at_k"] >= 0.95).all(), rep["overlap_at_k"]
+    assert (rep["overlap_at_k"] >= 0.99).all(), rep["overlap_at_k"]
 
     rep_bad = selection_quality(
         field, center, cam, bbox, sdf_scale=3.1, num_points=600, bins_n=64,
