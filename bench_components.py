@@ -91,8 +91,9 @@ def main():
 
         field, center, cam, bbox = stress_geometry(batch=2, seed=3)
         for name, levels in (
-            ("hier_default_4x256_2x512", ((4, 256), (2, 512))),
-            ("hier_prev_default_4x512_2x896", ((4, 512), (2, 896))),
+            ("hier_default_8x128_4x224_2x448", ((8, 128), (4, 224), (2, 448))),
+            ("hier_prev_default_4x256_2x512", ((4, 256), (2, 512))),
+            ("hier_exact_8x160_4x256_2x512", ((8, 160), (4, 256), (2, 512))),
             ("hier_rejected_4x128_2x256", ((4, 128), (2, 256))),
         ):
             rep = selection_quality(

@@ -128,21 +128,27 @@ class Config:
     coarse_keep_cells: int = 512
     # (cell_factor, keep) cascade for sdf_infer_mode="hier".
     #
-    # Default-levels decision (round 3): ((4,256),(2,512)) PASSED the
-    # dense-scan-oracle quality gate (ops/selection_quality.py) at the full
-    # 64^3 / K=600 production scale on stress geometry (2.5x-scaled hand +
-    # object blob + tight bbox): overlap@K 0.958-0.977, mean|sdf| ratio
-    # <=1.016 — numerically identical to the previous ((4,512),(2,896))
-    # default on every metric, at half the probe count (TPU: 396.5 vs
-    # 306.7 f/s pipelined).  ((4,128),(2,256)) FAILS the gate (overlap 0.85)
-    # and stays unavailable.  Gate + table: tests/test_point_sampling.py::
+    # Default-levels decision (round 3, revised after the bbox-edge cell-
+    # visibility fix in ops/point_sampling.py::_cell_overlaps_bbox): the
+    # 3-level ((8,128),(4,224),(2,448)) cascade PASSES the dense-scan-oracle
+    # quality gate (ops/selection_quality.py) at the full 64^3 / K=600
+    # production scale on stress geometry, worst-case over seeds 3/5/7:
+    # overlap@K 0.995, mean|sdf| ratio 1.0002 — at 6,912 probes/field vs
+    # 10,240 for the previous ((4,256),(2,512)) default (which post-fix is
+    # oracle-EXACT, overlap 1.0, and remains the conservative choice via
+    # --cfg).  Same-session TPU A/B (scripts/ab_eval.py, batch 22):
+    # 422 f/s vs 340 f/s for the 2-level default, p50 3.86 vs 4.30 ms.
+    # ((8,96),(4,192),(2,384)) (5,888 probes, overlap 0.963) and
+    # ((8,128),(4,208),(2,416)) (6,528, 0.983) also pass the >=0.95 gate but
+    # sit below the committed >=0.99 bar; ((8,112),(4,176),(2,352)) FAILS.
+    # Gate + table: tests/test_point_sampling.py::
     # test_hier_levels_full_scale_quality_gate, `bench_components.py
-    # --selection-quality`.
+    # --selection-quality`, scripts/levels_sweep.py.
     #
     # keep values at the 2-cells level are capped at 896: (2, 1024) triggers
     # a TPU kernel fault (UNAVAILABLE) when the cascade is fused with the
     # backbone+decoder graph at batch 22 (see tools/repro_fused_fault.py).
-    hier_levels: tuple = ((4, 256), (2, 512))
+    hier_levels: tuple = ((8, 128), (4, 224), (2, 448))
     # Fused Pallas SDF-MLP kernel inside sdf_infer (TPU only; the training
     # path keeps the flax module for grads + dropout).
     fused_sdf_infer: bool = True
