@@ -160,12 +160,17 @@ class Config:
     # run once on [B, 2M] merged points per stage instead of twice on
     # [B, M]; per-group selection is exactly identical to two separate
     # cascades.  hier mode only (other modes ignore it).
+    # MEASURED DEAD END for eval throughput (same-session A/B, batch 22):
+    # with merged_field_queries it is 326.6 f/s vs 340.4 for two separate
+    # cascades — merging doubles the per-stage tensor sizes without cutting
+    # dispatch count, and XLA already overlaps the two small cascades.
     paired_sdf_infer: bool = False
     # Token features + cross-field queries off ONE merged [B, Ph+Po] pyramid
     # gather (models/hoisdf.py::token_and_cross_queries): the cross queries
     # sample at the same camera points as the token features, so the 4
     # sampling passes (and their backward scatter-adds) collapse to 1.
-    # Applies to every branch (eval + both train branches).
+    # Applies to every branch (eval + both train branches).  See the
+    # paired_sdf_infer dead-end note (measured together; eval-side loss).
     merged_field_queries: bool = False
     # TPU-hardware approx_max_k for the hier cascade's *pruning* stages
     # (recall 0.95 on the conservative keep-set; the final point top-K stays
