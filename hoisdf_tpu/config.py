@@ -149,6 +149,14 @@ class Config:
     # a TPU kernel fault (UNAVAILABLE) when the cascade is fused with the
     # backbone+decoder graph at batch 22 (see tools/repro_fused_fault.py).
     hier_levels: tuple = ((8, 128), (4, 224), (2, 448))
+    # Object-field cascade override.  The object sampler keeps only
+    # num_samp_obj=200 points (vs 600 for the hand, main/config.py:88-89),
+    # so its keeps can shrink ~proportionally at equal selection quality —
+    # the K=200 oracle gate (scripts/levels_sweep.py --num-points 200)
+    # decides.  None = share hier_levels (the pre-round-3 behavior).  The
+    # opt-in paired_sdf_infer cascade folds both fields into one group and
+    # always uses the shared hier_levels.
+    hier_levels_obj: tuple | None = None
     # Fused Pallas SDF-MLP kernel inside sdf_infer (TPU only; the training
     # path keeps the flax module for grads + dropout).
     fused_sdf_infer: bool = True

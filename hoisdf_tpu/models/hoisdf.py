@@ -260,10 +260,15 @@ class HOISDF(nn.Module):
                 keep_cells=c.coarse_keep_cells, clamp=c.clamping_distance,
             )
         elif c.sdf_infer_mode == "hier":
+            levels = (
+                c.hier_levels_obj
+                if which == "obj" and c.hier_levels_obj is not None
+                else c.hier_levels
+            )
             points, sdf = sdf_guided_sample_hierarchical(
                 sdf_fn, center, cam_intr, bbox,
                 sdf_scale=sdf_scale, num_points=num_points, bins_n=c.bins_n,
-                levels=c.hier_levels, clamp=c.clamping_distance,
+                levels=levels, clamp=c.clamping_distance,
                 approx_topk=c.approx_selection_topk,
             )
         else:

@@ -146,6 +146,45 @@ def test_hier_sampler_variant_forward():
     assert np.isfinite(np.asarray(out["hand_sdf"])).all()
 
 
+def test_hier_levels_obj_override():
+    """cfg.hier_levels_obj gives the object field its own (cheaper) cascade
+    while the hand keeps hier_levels: the obj selection must match a model
+    whose SHARED levels equal the override, and the hand selection must be
+    untouched by it (models/hoisdf.py::sdf_infer level routing)."""
+    import dataclasses
+
+    from test_model import tiny_config
+
+    cfg = tiny_config(sdf_infer_mode="hier", hier_levels=((4, 16), (2, 48)))
+    obj_levels = ((4, 8), (2, 24))
+    cfg_split = dataclasses.replace(cfg, hier_levels_obj=obj_levels)
+    cfg_cheap = dataclasses.replace(cfg, hier_levels=obj_levels)
+    batch = tiny_batch(cfg, b=2, train=True)
+    model = build_model(cfg)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample_noise": jax.random.PRNGKey(1)},
+        batch, use_presampled=True, dist_range=0.03,
+    )
+    out_base = model.apply(variables, batch, use_presampled=False)
+    out_split = build_model(cfg_split).apply(
+        variables, batch, use_presampled=False
+    )
+    out_cheap = build_model(cfg_cheap).apply(
+        variables, batch, use_presampled=False
+    )
+
+    np.testing.assert_array_equal(
+        np.asarray(out_split["hand_points"]), np.asarray(out_base["hand_points"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_split["obj_points"]), np.asarray(out_cheap["obj_points"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_split["obj_sdf"]), np.asarray(out_cheap["obj_sdf"]),
+        atol=1e-6, rtol=0,
+    )
+
+
 def test_paired_sampler_parity():
     """cfg.paired_sdf_infer folds the hand+obj cascades into one grouped
     cascade (models/hoisdf.py::sdf_infer_pair).  Per-group probes, scores
