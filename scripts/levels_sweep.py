@@ -69,9 +69,13 @@ def main() -> None:
         "--levels", action="append", default=[],
         help='extra candidate, e.g. "((8,160),(4,256),(2,512))"',
     )
+    parser.add_argument(
+        "--no-defaults", action="store_true",
+        help="sweep only the --levels candidates (skip the default matrix)",
+    )
     args = parser.parse_args()
 
-    candidates = list(DEFAULT_CANDIDATES) + [
+    candidates = ([] if args.no_defaults else list(DEFAULT_CANDIDATES)) + [
         tuple(tuple(l) for l in ast.literal_eval(s)) for s in args.levels
     ]
 
