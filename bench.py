@@ -305,6 +305,10 @@ def main() -> None:
             extra["hier_levels"] = tuple(
                 tuple(l) for l in json.loads(args.hier_levels)
             )
+            # --hier-levels is the whole-sampler knob (all historical A/Bs
+            # used shared levels); a per-field obj cascade comes via
+            # --cfg hier_levels_obj=[[...]] on top.
+            extra.setdefault("hier_levels_obj", extra["hier_levels"])
         cfg = get_config(
             args.setting, sdf_infer_mode=args.sdf_infer_mode,
             compute_dtype=args.dtype, fused_sdf_infer=not args.no_fused,

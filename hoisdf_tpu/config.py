@@ -151,12 +151,20 @@ class Config:
     hier_levels: tuple = ((8, 128), (4, 224), (2, 448))
     # Object-field cascade override.  The object sampler keeps only
     # num_samp_obj=200 points (vs 600 for the hand, main/config.py:88-89),
-    # so its keeps can shrink ~proportionally at equal selection quality —
-    # the K=200 oracle gate (scripts/levels_sweep.py --num-points 200)
-    # decides.  None = share hier_levels (the pre-round-3 behavior).  The
-    # opt-in paired_sdf_infer cascade folds both fields into one group and
-    # always uses the shared hier_levels.
-    hier_levels_obj: tuple | None = None
+    # so its keeps shrink at equal selection quality — though NOT
+    # proportionally to K: the scene's near-surface cell count binds, so
+    # the K=200 quality cliff sits at ~5.1k probes, not at K/3 of the hand
+    # cascade.  Default-decision record (round 3, K=200 oracle gate via
+    # scripts/levels_sweep.py --num-points 200, worst case over seeds
+    # 3/5/7): ((8,104),(4,184),(2,368)) = 5,760 probes is the cheapest
+    # ORACLE-EXACT setting (overlap@200 = 1.0 on every stress scene);
+    # ((8,96),(4,176),(2,352)) (5,504) holds 0.995, ((8,96),(4,160),
+    # (2,320)) (5,120) drops to 0.985, cheaper settings fail the gate.
+    # Same-session TPU A/B vs the shared default (batch 22, 2 rounds):
+    # 441.9/438.6 vs 420.2/418.4 f/s, p50 3.74 vs 4.00 ms — +5%.
+    # None = share hier_levels.  The opt-in paired_sdf_infer cascade folds
+    # both fields into one group and always uses the shared hier_levels.
+    hier_levels_obj: tuple | None = ((8, 104), (4, 184), (2, 368))
     # Fused Pallas SDF-MLP kernel inside sdf_infer (TPU only; the training
     # path keeps the flax module for grads + dropout).
     fused_sdf_infer: bool = True
@@ -177,9 +185,13 @@ class Config:
     # gather (models/hoisdf.py::token_and_cross_queries): the cross queries
     # sample at the same camera points as the token features, so the 4
     # sampling passes (and their backward scatter-adds) collapse to 1.
-    # Applies to every branch (eval + both train branches).  See the
-    # paired_sdf_infer dead-end note (measured together; eval-side loss).
-    merged_field_queries: bool = False
+    # Applies to every branch (eval + both train branches).  Default-
+    # decision record (round 3): measured ALONE it is a consistent eval
+    # win — same-session TPU A/B at batch 22: 430.2/424.3 vs 420.2/418.4
+    # f/s (+1.8%), and +1.5% stacked on hier_levels_obj (450.0/451.0 vs
+    # 444.8/443.2).  The earlier "dead end" reading only ever measured it
+    # COMBINED with paired_sdf_infer (326.6 f/s) — the loss was paired's.
+    merged_field_queries: bool = True
     # TPU-hardware approx_max_k for the hier cascade's *pruning* stages
     # (recall 0.95 on the conservative keep-set; the final point top-K stays
     # exact lax.top_k).
@@ -190,7 +202,10 @@ class Config:
     # stride8 level off the gather unit; 0 keeps it on lax.gather.  TPU
     # backends only (models/hoisdf.py gates it — the formulation loses on
     # CPU, which has no MXU): measured 418.1 vs 412.3 f/s (p50 3.60 vs
-    # 3.68 ms) same-session A/B at the default eval point.
+    # 3.68 ms) same-session A/B at the default eval point.  4096 (stride4
+    # = 16 einsum chunks) is a MEASURED DEAD END: 347-349 vs 418-420 f/s
+    # same-session A/B — the chunk loop's one-hot construction overtakes
+    # the gather it replaces.  1024 is the sweet spot; do not raise.
     gather_chunked_max_table: int = 1024
     mesh_axis_data: str = "data"
     num_data_workers: int = 15

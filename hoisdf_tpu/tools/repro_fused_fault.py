@@ -58,7 +58,10 @@ def main() -> int:
     cfg = get_config(
         "dexycb",
         sdf_infer_mode="hier",
+        # the documented fault condition is SHARED levels on both fields
+        # (pre-dates the per-field hier_levels_obj default)
         hier_levels=((4, 512), (2, args.keep)),
+        hier_levels_obj=None,
         compute_dtype="bfloat16",
         # the fault reproduces without the Pallas kernel — keep it OFF so
         # the repro indicts pure XLA codegen

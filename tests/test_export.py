@@ -23,7 +23,7 @@ def tiny_cfg():
         enc_layers=2, dec_layers=2, num_samp_hand=32, num_samp_obj=16,
         input_img_shape=(64, 64), output_hm_shape=(32, 32, 32), bins_n=16,
         sdf_infer_chunk=2048, sdf_infer_mode="hier",
-        hier_levels=((4, 16), (2, 48)),
+        hier_levels=((4, 16), (2, 48)), hier_levels_obj=None,
     )
 
 

@@ -34,6 +34,10 @@ def tiny_config(**over):
         output_hm_shape=(32, 32, 32),
         bins_n=16,
         sdf_infer_chunk=2048,
+        # Tiny lattices pair with tiny hand cascades; the production
+        # hier_levels_obj default would silently mix scales (tests that
+        # exercise the override set it explicitly).
+        hier_levels_obj=None,
         **over,
     )
 

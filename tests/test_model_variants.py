@@ -235,12 +235,17 @@ def test_merged_field_queries_parity():
     features AND cross-field queries.  The cross queries sample at the same
     camera points as the tokens (the unmerged path's scaled-frame round trip
     only adds fp rounding), so outputs must agree to fp tolerance, and the
-    merged path must stay differentiable."""
+    merged path must stay differentiable.  (merged is the production
+    default since round 3 — pin BOTH sides explicitly so the parity claim
+    survives default flips.)"""
     import dataclasses
 
     from test_model import tiny_config
 
-    cfg = tiny_config(sdf_infer_mode="hier", hier_levels=((4, 16), (2, 48)))
+    cfg = tiny_config(
+        sdf_infer_mode="hier", hier_levels=((4, 16), (2, 48)),
+        merged_field_queries=False,
+    )
     cfg_m = dataclasses.replace(cfg, merged_field_queries=True)
     model = build_model(cfg)
     model_m = build_model(cfg_m)

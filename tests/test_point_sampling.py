@@ -318,3 +318,15 @@ def test_hier_levels_full_scale_quality_gate():
         levels=((4, 128), (2, 256)),
     )
     assert not gate(rep_bad), rep_bad
+
+    # The object field's promoted default (config.hier_levels_obj) must hold
+    # the same bar at ITS production K (num_samp_obj=200) — the K=200 sweep
+    # found it oracle-exact (overlap@200 = 1.0, seeds 3/5/7).
+    obj_levels = Config().hier_levels_obj
+    assert obj_levels is not None
+    rep_obj = selection_quality(
+        field, center, cam, bbox, sdf_scale=3.1, num_points=200, bins_n=64,
+        levels=obj_levels,
+    )
+    assert gate(rep_obj), rep_obj
+    assert (rep_obj["overlap_at_k"] >= 0.99).all(), rep_obj["overlap_at_k"]
