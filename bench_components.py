@@ -90,15 +90,20 @@ def main():
         )
 
         field, center, cam, bbox = stress_geometry(batch=2, seed=3)
-        for name, levels in (
-            ("hier_default_8x128_4x224_2x448", ((8, 128), (4, 224), (2, 448))),
-            ("hier_prev_default_4x256_2x512", ((4, 256), (2, 512))),
-            ("hier_exact_8x160_4x256_2x512", ((8, 160), (4, 256), (2, 512))),
-            ("hier_rejected_4x128_2x256", ((4, 128), (2, 256))),
+        for name, levels, num_points in (
+            ("hier_default_8x128_4x224_2x448",
+             ((8, 128), (4, 224), (2, 448)), 600),
+            ("hier_prev_default_4x256_2x512", ((4, 256), (2, 512)), 600),
+            ("hier_exact_8x160_4x256_2x512",
+             ((8, 160), (4, 256), (2, 512)), 600),
+            ("hier_rejected_4x128_2x256", ((4, 128), (2, 256)), 600),
+            # the object field's promoted default, gated at ITS K
+            ("hier_obj_default_8x104_4x184_2x368_k200",
+             ((8, 104), (4, 184), (2, 368)), 200),
         ):
             rep = selection_quality(
-                field, center, cam, bbox, sdf_scale=3.1, num_points=600,
-                bins_n=64, levels=levels,
+                field, center, cam, bbox, sdf_scale=3.1,
+                num_points=num_points, bins_n=64, levels=levels,
             )
             print(json.dumps({
                 "metric": f"selection_quality/{name}",
