@@ -39,7 +39,7 @@ def _log(msg: str) -> None:
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
-def _read_baseline(metric: str, mode: str) -> float | None:
+def _read_baseline(metric: str, mode: str, sampler: str = "hier") -> float | None:
     """Anchor for ``vs_baseline``: the FIRST-EVER green recorded round whose
     metric name AND dispatch mode match this run, so the ratio keeps showing
     progress across rounds (it previously re-anchored on the latest green
@@ -72,6 +72,11 @@ def _read_baseline(metric: str, mode: str) -> float | None:
         if entry.get("metric") not in (None, metric):
             continue
         if entry.get("mode", "pipelined") != mode:
+            continue
+        # Sampler methodology must match too (the CPU smoke honors
+        # --sdf-infer-mode since round 3; old entries lack the field and
+        # match leniently — TPU rounds were always hier).
+        if entry.get("sampler", sampler) != sampler:
             continue
         val = entry.get("value")
         if isinstance(val, (int, float)) and val > 0:
@@ -291,24 +296,34 @@ def main() -> None:
     from hoisdf_tpu.mano.model import make_synthetic_mano
     from hoisdf_tpu.models.hoisdf import build_model
 
+    extra = parse_cfg_overrides(args.cfg)
+    if args.hier_levels:
+        extra["hier_levels"] = tuple(
+            tuple(l) for l in json.loads(args.hier_levels)
+        )
+    # hier_levels (flag or --cfg) is the whole-sampler knob (all historical
+    # A/Bs used shared levels); a per-field obj cascade comes via
+    # --cfg hier_levels_obj=[[...]] on top.
+    if "hier_levels" in extra:
+        extra.setdefault("hier_levels_obj", extra["hier_levels"])
     if args.cpu:
+        if args.sdf_infer_mode == "hier":
+            # tiny-lattice cascade matching bins_n=16 (the production
+            # levels assume the 64^3 lattice)
+            extra.setdefault("hier_levels", ((4, 16), (2, 48)))
+            extra.setdefault("hier_levels_obj", None)
+        # CPU smoke keeps compute_dtype=float32 (the config default) so the
+        # cpu_smoke metric stays comparable across rounds; override via
+        # --cfg compute_dtype=bfloat16 if needed.
         cfg = get_config(
             args.setting, resnet_type=18, hidden_dim=64, dim_feedforward=128,
             enc_layers=2, dec_layers=2, num_samp_hand=32, num_samp_obj=16,
             input_img_shape=(64, 64), output_hm_shape=(32, 32, 32), bins_n=16,
-            sdf_infer_chunk=2048, **parse_cfg_overrides(args.cfg),
+            sdf_infer_chunk=2048, sdf_infer_mode=args.sdf_infer_mode,
+            fused_sdf_infer=not args.no_fused, **extra,
         )
         args.batch = min(args.batch, 4)
     else:
-        extra = parse_cfg_overrides(args.cfg)
-        if args.hier_levels:
-            extra["hier_levels"] = tuple(
-                tuple(l) for l in json.loads(args.hier_levels)
-            )
-            # --hier-levels is the whole-sampler knob (all historical A/Bs
-            # used shared levels); a per-field obj cascade comes via
-            # --cfg hier_levels_obj=[[...]] on top.
-            extra.setdefault("hier_levels_obj", extra["hier_levels"])
         cfg = get_config(
             args.setting, sdf_infer_mode=args.sdf_infer_mode,
             compute_dtype=args.dtype, fused_sdf_infer=not args.no_fused,
@@ -395,7 +410,7 @@ def main() -> None:
         "_cpu_smoke" if args.cpu else ""
     )
     mode = "pipelined"
-    baseline = _read_baseline(metric, mode)
+    baseline = _read_baseline(metric, mode, cfg.sdf_infer_mode)
     vs = fps / baseline if baseline else 1.0
 
     # MFU accounting: FLOPs/frame from XLA cost analysis, peak from the
@@ -426,6 +441,8 @@ def main() -> None:
                 # dispatch methodology — vs_baseline only compares same-mode
                 # rounds (the latency ladder stays per-step blocking)
                 "mode": mode,
+                # sampler methodology (ADVICE-r2 lesson: record it)
+                "sampler": cfg.sdf_infer_mode,
                 # ladder fallback can shrink the batch — record it so a
                 # reduced-batch number is never mistaken for the standard
                 # batch-22 metric

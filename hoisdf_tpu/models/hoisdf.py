@@ -295,16 +295,27 @@ class HOISDF(nn.Module):
         query merges the groups along the POINT axis — every pyramid gather,
         ``linear_sdfin`` projection and posenc runs once on [B, 2M] points
         instead of twice on [B, M].  Only the final SDF MLP splits (the two
-        decoders have different weights).  Per-group probes, scores and
-        top-K are exactly those of two separate ``sdf_infer`` calls
-        (parity: tests/test_model_variants.py::test_paired_sampler_parity);
-        the object group's K points are the first ``num_samp_obj`` of the
-        shared best-first ordering, identical to its own top-K.
+        decoders have different weights).  Both groups run the SHARED
+        ``hier_levels`` (the batch-folded stage tensors need one static
+        keep per stage), so a conflicting ``hier_levels_obj`` is rejected
+        at trace time — set it to None to opt into pairing.  With that
+        constraint, per-group probes, scores and top-K are exactly those
+        of two separate ``sdf_infer`` calls (parity: tests/
+        test_model_variants.py::test_paired_sampler_parity); the object
+        group's K points are the first ``num_samp_obj`` of the shared
+        best-first ordering, identical to its own top-K.
 
         Replaces the reference's two sequential no-grad sampling passes
         (main/model.py:455-463) on the production hier path.
         """
         c = self.cfg
+        if c.hier_levels_obj not in (None, c.hier_levels):
+            raise ValueError(
+                "paired_sdf_infer folds both fields into one cascade and "
+                "cannot honor a per-field hier_levels_obj="
+                f"{c.hier_levels_obj!r}; set hier_levels_obj=None (or equal "
+                "to hier_levels) to use the paired sampler"
+            )
         b = mano_root.shape[0]
 
         if self.is_initializing():

@@ -55,13 +55,26 @@ def main() -> None:
                 k: tuple(tuple(x) for x in v) if isinstance(v, list) else v
                 for k, v in overrides.items()
             }
+            # Same semantics as bench.py: hier_levels alone means the
+            # WHOLE sampler (historical shared-levels A/Bs) — pass
+            # hier_levels_obj explicitly to split the fields.
+            if "hier_levels" in overrides:
+                overrides.setdefault(
+                    "hier_levels_obj", overrides["hier_levels"]
+                )
             matrix.append((name, overrides))
     else:
+        # merged_field_queries is the production default since round 3 —
+        # pin it per variant so 'paired' isolates pairing (a bare
+        # {"paired_sdf_infer": true} would now equal paired+merged).
         matrix = [
             ("default", {}),
-            ("paired", {"paired_sdf_infer": True}),
+            ("paired", {"paired_sdf_infer": True,
+                        "merged_field_queries": False,
+                        "hier_levels_obj": None}),
             ("paired+merged", {"paired_sdf_infer": True,
-                               "merged_field_queries": True}),
+                               "merged_field_queries": True,
+                               "hier_levels_obj": None}),
         ]
 
     mano = ManoBuffers.from_model(make_synthetic_mano(0))

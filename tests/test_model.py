@@ -36,9 +36,8 @@ def tiny_config(**over):
         sdf_infer_chunk=2048,
         # Tiny lattices pair with tiny hand cascades; the production
         # hier_levels_obj default would silently mix scales (tests that
-        # exercise the override set it explicitly).
-        hier_levels_obj=None,
-        **over,
+        # exercise the override pass their own value).
+        **{"hier_levels_obj": None, **over},
     )
 
 

@@ -230,6 +230,35 @@ def test_paired_sampler_parity():
         )
 
 
+def test_paired_sampler_rejects_per_field_levels():
+    """The paired cascade folds both fields into one static-shape group and
+    cannot honor hier_levels_obj — a conflicting override must fail loudly
+    at trace time, not silently fall back to shared levels."""
+    import dataclasses
+
+    from test_model import tiny_config
+
+    cfg = tiny_config(
+        sdf_infer_mode="hier", hier_levels=((4, 16), (2, 48)),
+        hier_levels_obj=((4, 8), (2, 24)), paired_sdf_infer=True,
+    )
+    model = build_model(cfg)
+    batch = tiny_batch(cfg, b=2, train=True)
+    with pytest.raises(ValueError, match="paired_sdf_infer"):
+        model.init(
+            {"params": jax.random.PRNGKey(0),
+             "sample_noise": jax.random.PRNGKey(1)},
+            batch, use_presampled=False,
+        )
+    # equal levels are fine (the guard only rejects a CONFLICT)
+    cfg_ok = dataclasses.replace(cfg, hier_levels_obj=((4, 16), (2, 48)))
+    build_model(cfg_ok).init(
+        {"params": jax.random.PRNGKey(0),
+         "sample_noise": jax.random.PRNGKey(1)},
+        batch, use_presampled=False,
+    )
+
+
 def test_merged_field_queries_parity():
     """cfg.merged_field_queries reuses one [B, Ph+Po] gather for token
     features AND cross-field queries.  The cross queries sample at the same
