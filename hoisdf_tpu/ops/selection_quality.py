@@ -154,6 +154,42 @@ def stress_geometry(batch: int = 2, seed: int = 3, sdf_scale: float = 3.1):
     return field, center, cam, bbox
 
 
+def perturbed_field(field: Callable, seed: int = 0, amplitude: float = 0.02,
+                    num_waves: int = 8, max_freq: float = 6.0) -> Callable:
+    """Wrap a distance field with smooth random noise, modeling a TRAINED
+    SDF decoder's prediction error (the gate's true-distance fields are the
+    best case for the cascade's 1-Lipschitz pruning argument; a learned
+    field violates the Lipschitz bound slightly and shifts minima).
+
+    The noise is a sum of ``num_waves`` random sinusoids with wavevector
+    norms up to ``max_freq`` rad/unit — at the defaults its gradient norm
+    can reach ~amplitude*max_freq*sqrt(num_waves) ≈ 0.34, a strong local
+    Lipschitz violation vs the field's 1, while staying spatially smooth
+    like a converged MLP's error (white noise would model an untrained
+    net, which no selection scheme — including the reference's dense scan
+    — would serve anyway).  Both the oracle and the cascade see the SAME
+    perturbed field, so ``selection_quality`` still isolates pruning loss.
+    """
+    rng = np.random.RandomState(seed)
+    k = jnp.asarray(
+        rng.uniform(-max_freq, max_freq, size=(num_waves, 3)).astype(np.float32)
+    )
+    phase = jnp.asarray(
+        rng.uniform(0.0, 2 * np.pi, size=(num_waves,)).astype(np.float32)
+    )
+    amp = jnp.asarray(
+        (rng.dirichlet(np.ones(num_waves)) * amplitude * num_waves ** 0.5)
+        .astype(np.float32)
+    )
+
+    def noisy(pts):  # [B, M, 3] -> [B, M]
+        base = field(pts)
+        waves = jnp.sin(jnp.einsum("bmc,wc->bmw", pts, k) + phase)
+        return base + waves @ amp
+
+    return noisy
+
+
 def hand_geometry_field(batch: int = 2, seed: int = 3, sdf_scale: float = 3.1):
     """True unsigned distance field of posed synthetic MANO hands in the
     scaled lattice frame — the hand-shaped oracle geometry the gate runs on

@@ -330,3 +330,37 @@ def test_hier_levels_full_scale_quality_gate():
     )
     assert gate(rep_obj), rep_obj
     assert (rep_obj["overlap_at_k"] >= 0.99).all(), rep_obj["overlap_at_k"]
+
+
+def test_hier_levels_gate_on_noisy_field():
+    """The gate's true-distance fields are the BEST case for the cascade's
+    1-Lipschitz pruning argument; a trained SDF decoder is noisier.  The
+    promoted defaults must also hold on a smooth-noise-perturbed field
+    (ops/selection_quality.py::perturbed_field — local Lipschitz violations
+    up to ~1.34x).  Full sweep (seeds 3/5/7 x noise 0/1, both fields):
+    worst overlap 0.9917 — asserted here on the measured worst-case scene
+    to bound suite runtime."""
+    from hoisdf_tpu.config import Config
+    from hoisdf_tpu.ops.selection_quality import (
+        gate,
+        perturbed_field,
+        selection_quality,
+        stress_geometry,
+    )
+
+    field, center, cam, bbox = stress_geometry(batch=2, seed=7)
+    noisy = perturbed_field(field, seed=0)
+
+    rep = selection_quality(
+        noisy, center, cam, bbox, sdf_scale=3.1, num_points=600, bins_n=64,
+        levels=Config().hier_levels,
+    )
+    assert gate(rep), rep
+    assert (rep["overlap_at_k"] >= 0.99).all(), rep["overlap_at_k"]
+
+    rep_obj = selection_quality(
+        noisy, center, cam, bbox, sdf_scale=3.1, num_points=200, bins_n=64,
+        levels=Config().hier_levels_obj,
+    )
+    assert gate(rep_obj), rep_obj
+    assert (rep_obj["overlap_at_k"] >= 0.99).all(), rep_obj["overlap_at_k"]
