@@ -145,9 +145,13 @@ class Config:
     # test_hier_levels_full_scale_quality_gate, `bench_components.py
     # --selection-quality`, scripts/levels_sweep.py.
     #
-    # keep values at the 2-cells level are capped at 896: (2, 1024) triggers
-    # a TPU kernel fault (UNAVAILABLE) when the cascade is fused with the
-    # backbone+decoder graph at batch 22 (see tools/repro_fused_fault.py).
+    # HISTORICAL: (2, 1024) used to trigger a TPU kernel fault (UNAVAILABLE)
+    # when the cascade was fused with the backbone+decoder graph at batch 22
+    # (rounds 1-2; the empirical cap was 896).  The round-3 retest with the
+    # ORIGINAL graph pinned (tools/repro_fused_fault.py, stablehlo
+    # fingerprint ff670482d9d2a369) ran CLEAN — the fault is gone on the
+    # current jax/libtpu, so large keeps are allowed again (they just lose
+    # on probe count; the promoted defaults sit far below the old cap).
     hier_levels: tuple = ((8, 128), (4, 224), (2, 448))
     # Object-field cascade override.  The object sampler keeps only
     # num_samp_obj=200 points (vs 600 for the hand, main/config.py:88-89),

@@ -137,9 +137,7 @@ def sdf_guided_sample_hierarchical(
     Default ((4, 512), (2, 896)) on a 64^3 lattice: 16^3 coarse probes +
     512*8 sub-cell probes + 896*8 fine evals = 15.4k SDF evaluations vs
     36.9k for the two-stage coarse2fine — 2.4x fewer where ~all eval time
-    goes.  (keep=1024 at the 2-cell level is avoided: it triggers a TPU
-    kernel fault when fused with the backbone+decoder graph at batch 22;
-    896 runs clean — see config.hier_levels.)  Selection quality holds because the SDF is 1-Lipschitz: a cell
+    goes.  Selection quality holds because the SDF is 1-Lipschitz: a cell
     containing surface has center |sdf| <= half the cell diagonal, so
     generous keeps prune conservatively.  Selected points lie on the same
     64^3 lattice as the reference's dense pass (main/model.py:260-273).

@@ -59,9 +59,12 @@ def main() -> int:
         "dexycb",
         sdf_infer_mode="hier",
         # the documented fault condition is SHARED levels on both fields
-        # (pre-dates the per-field hier_levels_obj default)
+        # with the round-2 unmerged token gathers (both knobs pre-date
+        # their round-3 default flips — pin them so the repro graph stays
+        # the one that faulted)
         hier_levels=((4, 512), (2, args.keep)),
         hier_levels_obj=None,
+        merged_field_queries=False,
         compute_dtype="bfloat16",
         # the fault reproduces without the Pallas kernel — keep it OFF so
         # the repro indicts pure XLA codegen
