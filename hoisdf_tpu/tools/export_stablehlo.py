@@ -97,7 +97,10 @@ def export_serving_module(
              "batch_stats": params_tree.get("batch_stats", {})},
             inputs, use_presampled=False, train=False, supervise_sdf=False,
         )
-        pred_mano = mano_head_pred(mano, out["mano_pose6d"], out["mano_shape"])
+        # final decoder layer only — the [L*B]-batched FK defeats DCE
+        pred_mano = mano_head_pred(
+            mano, out["mano_pose6d"][-1:], out["mano_shape"][-1:]
+        )
         from hoisdf_tpu.train import vote_hand_joints
 
         return {

@@ -319,8 +319,12 @@ def make_eval_step(
         }
         preds["hand_joints"] = vote_hand_joints(out)  # [B,20,3] m
         if not cfg.use_inverse_kinematics:
+            # Eval consumes only the final decoder layer (main/test.py);
+            # the per-layer FK is batched as one L*B MANO forward, so XLA
+            # cannot DCE the unused layers away from a [-1] slice — feed
+            # the final layer only (exact, saves (L-1)/L of eval-time FK).
             pred_mano = mano_head_pred(
-                mano_buffers, out["mano_pose6d"], out["mano_shape"]
+                mano_buffers, out["mano_pose6d"][-1:], out["mano_shape"][-1:]
             )
             preds["mano_verts"] = pred_mano["verts3d"][-1]
             preds["mano_joints"] = pred_mano["joints3d"][-1]
