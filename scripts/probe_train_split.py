@@ -43,6 +43,16 @@ def main():
         "default 'full' is the dense parity scan — 927 ms/step at batch 22, "
         "NOT the production sampler; every deployed entry point uses 'hier')",
     )
+    p.add_argument(
+        "--setting", default="dexycb",
+        choices=("dexycb", "dexycb_full", "ho3d", "ho3d_render"),
+        help="config preset to decompose (ho3d_render = BASELINE.json "
+        "config 5: big decoder + IK head + render extension)",
+    )
+    p.add_argument(
+        "--batch", type=int, default=None,
+        help="per-chip batch (default 22 on TPU = reference parity, 2 on CPU)",
+    )
     args = p.parse_args()
 
     import jax
@@ -75,9 +85,9 @@ def main():
         sdf_infer_chunk=2048,
     ) if args.cpu else {}
     cfg = get_config(
-        "dexycb", compute_dtype="float32" if args.cpu else "bfloat16",
+        args.setting, compute_dtype="float32" if args.cpu else "bfloat16",
         sdf_infer_mode=args.mode, **tiny)
-    batch_n = 2 if args.cpu else 22
+    batch_n = args.batch or (2 if args.cpu else 22)
     model = build_model(cfg)
     mano = ManoBuffers.from_model(make_synthetic_mano(0))
     b = synthetic_batch(cfg, batch_n, train=True)
@@ -159,7 +169,7 @@ def main():
             update_ms=round((t_step - t_grad) * 1e3, 2),
             fps=round(batch_n / t_step, 1),
         )
-        print(name, json.dumps(results[name]), flush=True)
+        print(f"{args.setting}:{name}", json.dumps(results[name]), flush=True)
 
 
 if __name__ == "__main__":
