@@ -74,15 +74,31 @@ def _read_baseline(metric: str, mode: str, sampler: str = "hier") -> float | Non
         if entry.get("mode", "pipelined") != mode:
             continue
         # Sampler methodology must match too (the CPU smoke honors
-        # --sdf-infer-mode since round 3; old entries lack the field and
-        # match leniently — TPU rounds were always hier).
-        if entry.get("sampler", sampler) != sampler:
+        # --sdf-infer-mode since round 3).  Entries recorded before the
+        # field existed default by metric: pre-round-3 CPU smokes ran the
+        # dense "full" scan (the old CPU branch never set sdf_infer_mode),
+        # while TPU rounds were always hier — a lenient match here would
+        # anchor a hier CPU run against a full-scan baseline and inflate
+        # the ratio (ADVICE r3).
+        default_sampler = (
+            "full" if "cpu_smoke" in str(entry.get("metric") or metric)
+            else "hier"
+        )
+        if entry.get("sampler", default_sampler) != sampler:
             continue
         val = entry.get("value")
         if isinstance(val, (int, float)) and val > 0:
             return float(val)
     return None
 
+
+# Analytical bound on the reference's GPU eval throughput (frames/sec) —
+# the ≥5x-target denominator.  Derivation with stated assumptions lives in
+# BASELINE.md §"Analytical GPU denominator": dense-64^3 sampler = 448-897
+# GFLOP/frame (main/model.py:246-355), RTX 3090 fp32 at a generous 50%
+# sustained -> ~40 f/s ceiling; empirically cross-checked by this repo's own
+# batched "full"-mode scan measuring 21 f/s on a much faster chip.
+ANALYTICAL_GPU_BASELINE_FPS = 40.0
 
 # bf16 peak FLOP/s by device kind, for the MFU denominator.
 _PEAK_FLOPS = {
@@ -453,6 +469,16 @@ def main() -> None:
                 ),
                 "mfu": round(mfu, 5) if mfu else None,
                 "device": device_kind,
+                # Argued PyTorch-GPU denominator (BASELINE.md "Analytical
+                # GPU denominator": ~40 f/s is the most generous defensible
+                # bound for main/test.py's dense-64^3 per-sample-loop eval
+                # on an RTX 3090).  Only meaningful for the real-chip
+                # dexycb headline metric at the standard batch.
+                "vs_gpu_analytical": (
+                    round(fps / ANALYTICAL_GPU_BASELINE_FPS, 2)
+                    if (not args.cpu and args.setting == "dexycb")
+                    else None
+                ),
             }
         )
     )

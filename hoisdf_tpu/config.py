@@ -122,7 +122,14 @@ class Config:
     # "coarse2fine" = 16^3 coarse pass + top-cell refinement (faster, ~same pts)
     # "hier"  = multi-level cell-subdivision cascade (hier_levels; 2.25x fewer
     #           SDF evals than coarse2fine at the defaults)
-    sdf_infer_mode: str = "full"
+    #
+    # DEFAULT = "hier" (round 4): the production cascade is oracle-gated
+    # against the dense scan (ops/selection_quality.py; overlap@K >= 0.995
+    # at full 64^3/K=600 scale) and is what every promoted perf number
+    # measures.  The reference always runs its sampler at eval
+    # (main/model.py:246-355); ours always runs the fast one.  Parity
+    # tests / golden generation opt into "full" explicitly.
+    sdf_infer_mode: str = "hier"
     sdf_infer_chunk: int = 32768  # lattice points per scan step in "full" mode
     coarse_bins: int = 16
     coarse_keep_cells: int = 512
@@ -168,6 +175,11 @@ class Config:
     # 441.9/438.6 vs 420.2/418.4 f/s, p50 3.74 vs 4.00 ms — +5%.
     # None = share hier_levels.  The opt-in paired_sdf_infer cascade folds
     # both fields into one group and always uses the shared hier_levels.
+    # GATING: this default's evidence covers K = num_samp_obj <= 200 only
+    # (exactness at 200 implies exactness below it); if num_samp_obj is
+    # raised past 200 while this field is left at the stock value, the
+    # model falls back to the shared hier_levels (models/hoisdf.py::
+    # sdf_infer) — an explicit override is honored at any K.
     hier_levels_obj: tuple | None = ((8, 104), (4, 184), (2, 368))
     # Fused Pallas SDF-MLP kernel inside sdf_infer (TPU only; the training
     # path keeps the flax module for grads + dropout).

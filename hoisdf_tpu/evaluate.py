@@ -28,12 +28,11 @@ from hoisdf_tpu.metrics import (
     EvalUtil,
     eval_batched_obj_direct,
     eval_hand_joint,
-    fscore,
+    mesh_metrics_batch,
 )
 from hoisdf_tpu.models.hoisdf import build_model
 from hoisdf_tpu.models.mano_head import mano_head_gt
 from hoisdf_tpu.ops.ik import ik_solver_mano
-from hoisdf_tpu.ops.rotations import rigid_align
 from hoisdf_tpu.train import make_eval_step
 from hoisdf_tpu.utils import checkpoint as ckpt_util
 
@@ -170,21 +169,24 @@ class Evaluator:
                 ) * n * 100
             if cfg.eval_mesh:
                 gt = mano_head_gt(self.mano, jnp.asarray(targets["mano_param"]))
-                pred_v = np.asarray(preds["mano_verts"])
-                gt_v = np.asarray(gt["verts3d"])
-                for pv, gv in zip(pred_v, gt_v):
-                    aligned = np.asarray(
-                        rigid_align(jnp.asarray(pv), jnp.asarray(gv))
+                # One jitted device call per batch (vmapped rigid_align +
+                # shared-pairwise F-scores) + one host transfer, replacing
+                # the per-sample loop of 5 device round-trips per mesh
+                # (main/test.py:214-222,232-259 semantics preserved).
+                mm = jax.device_get(
+                    mesh_metrics_batch(
+                        gt["verts3d"], jnp.asarray(preds["mano_verts"]),
+                        self.f_threshs,
                     )
-                    self.mesh_err.feed(gv, pv)
-                    self.mesh_err_aligned.feed(gv, aligned)
+                )
+                for i in range(mm["epe_dist"].shape[0]):
+                    self.mesh_err.feed_dist(mm["epe_dist"][i])
+                    self.mesh_err_aligned.feed_dist(mm["epe_dist_aligned"][i])
                     self.f_scores.append(
-                        [float(fscore(jnp.asarray(gv), jnp.asarray(pv), t))
-                         for t in self.f_threshs]
+                        [float(v) for v in mm["fscores"][i]]
                     )
                     self.f_scores_aligned.append(
-                        [float(fscore(jnp.asarray(gv), jnp.asarray(aligned), t))
-                         for t in self.f_threshs]
+                        [float(v) for v in mm["fscores_aligned"][i]]
                     )
         self.total += n if cfg.dataset == "ho3d" else b
 

@@ -132,6 +132,58 @@ def fscore(
     )
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("thresholds",))
+def mesh_metrics_batch(
+    gt_verts: jax.Array,  # [B, N, 3]
+    pred_verts: jax.Array,  # [B, N, 3]
+    thresholds: Tuple[float, ...],
+) -> Dict[str, jax.Array]:
+    """Batched dexycb_full mesh metrics: one device call per eval batch.
+
+    Replaces the per-sample host loop (1 rigid_align + 4 fscore device
+    round-trips per mesh, main/test.py:214-222,232-259 semantics): vmapped
+    Procrustes alignment, correspondence EPE distances for EvalUtil, and
+    F-scores for plain + aligned prediction at every threshold — the
+    O(N^2) pairwise matrix is built once per (sample, variant) and shared
+    across thresholds.
+
+    Returns per-sample arrays: ``epe_dist``/``epe_dist_aligned`` [B, N]
+    (per-vertex correspondence distances, what EvalUtil.feed computes) and
+    ``fscores``/``fscores_aligned`` [B, T].
+    """
+    aligned = jax.vmap(rigid_align)(pred_verts, gt_verts)
+
+    def per_sample(gv, pv):
+        d = jnp.linalg.norm(gv[:, None, :] - pv[None, :, :], axis=-1)
+        d1 = d.min(axis=1)  # gt -> pred
+        d2 = d.min(axis=0)  # pred -> gt
+        fs = []
+        for t in thresholds:
+            recall = (d1 < t).mean()
+            precision = (d2 < t).mean()
+            fs.append(
+                jnp.where(
+                    recall + precision > 0,
+                    2 * recall * precision / (recall + precision),
+                    0.0,
+                )
+            )
+        epe = jnp.linalg.norm(gv - pv, axis=-1)
+        return epe, jnp.stack(fs)
+
+    epe, fs = jax.vmap(per_sample)(gt_verts, pred_verts)
+    epe_a, fs_a = jax.vmap(per_sample)(gt_verts, aligned)
+    return {
+        "epe_dist": epe,
+        "epe_dist_aligned": epe_a,
+        "fscores": fs,
+        "fscores_aligned": fs_a,
+    }
+
+
 # ---- PCK / AUC accumulator ------------------------------------------------------
 
 
@@ -149,6 +201,15 @@ class EvalUtil:
             keypoint_vis = np.ones(keypoint_gt.shape[0], bool)
         keypoint_vis = np.asarray(keypoint_vis).astype(bool).reshape(-1)
         dist = np.linalg.norm(keypoint_gt - keypoint_pred, axis=-1)
+        self.feed_dist(dist, keypoint_vis)
+
+    def feed_dist(self, dist, keypoint_vis=None):
+        """Feed precomputed per-keypoint distances [num_kp] (the batched
+        mesh-metrics path computes them on-device in one call)."""
+        dist = np.asarray(dist)
+        if keypoint_vis is None:
+            keypoint_vis = np.ones(dist.shape[0], bool)
+        keypoint_vis = np.asarray(keypoint_vis).astype(bool).reshape(-1)
         for i in range(self.num_kp):
             if keypoint_vis[i]:
                 self.data[i].append(dist[i])

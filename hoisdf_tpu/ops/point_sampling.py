@@ -263,6 +263,13 @@ def _cell_overlaps_bbox(probe_pts, factor, step, center, cam_intr, bbox,
 
     probe_pts are the cell CENTER probes (origin + (factor-1)*step/2); the
     corner lattice points sit at center ± (factor-1)*step/2 per axis.
+
+    Corners at camera depth z <= 0 void the convex-hull argument (the
+    perspective division flips pixel signs), so any cell with a non-positive
+    -depth corner is treated as visible — still conservative, never wrongly
+    prunes (ADVICE r3).  Unreachable at production geometry (center z≈0.6,
+    sdf_scale 3.1 puts the lattice at z ∈ [0.28, 0.92]) but no longer an
+    implicit precondition.
     """
     if factor == 1:
         return _in_bbox(probe_pts, center, cam_intr, bbox, sdf_scale)
@@ -278,10 +285,13 @@ def _cell_overlaps_bbox(probe_pts, factor, step, center, cam_intr, bbox,
         pts.reshape(pts.shape[0], -1, 3), center, sdf_scale
     ).reshape(pts.shape)
     p2d = jnp.einsum("bmqc,bkc->bmqk", cam_pts, cam_intr)
-    pix = p2d[..., :2] / p2d[..., 2:3]  # [B, M, 8, 2]
+    z = p2d[..., 2]  # [B, M, 8]
+    eps = jnp.asarray(1e-6, z.dtype)
+    straddles_camera = (z <= eps).any(axis=2)  # [B, M]
+    pix = p2d[..., :2] / jnp.maximum(z, eps)[..., None]  # [B, M, 8, 2]
     lo = pix.min(axis=2)  # [B, M, 2]
     hi = pix.max(axis=2)
-    return (
+    return straddles_camera | (
         (hi[..., 0] > bbox[:, None, 0])
         & (lo[..., 0] < bbox[:, None, 2])
         & (hi[..., 1] > bbox[:, None, 1])

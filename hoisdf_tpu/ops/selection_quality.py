@@ -161,9 +161,13 @@ def perturbed_field(field: Callable, seed: int = 0, amplitude: float = 0.02,
     best case for the cascade's 1-Lipschitz pruning argument; a learned
     field violates the Lipschitz bound slightly and shifts minima).
 
-    The noise is a sum of ``num_waves`` random sinusoids with wavevector
-    norms up to ``max_freq`` rad/unit — at the defaults its gradient norm
-    can reach ~amplitude*max_freq*sqrt(num_waves) ≈ 0.34, a strong local
+    The noise is a sum of ``num_waves`` random sinusoids with per-axis
+    wavevector components uniform in ±``max_freq``, i.e. wavevector norms
+    up to sqrt(3)*max_freq rad/unit, and dirichlet amplitudes summing to
+    amplitude*sqrt(num_waves).  Worst-case gradient norm is therefore
+    bounded by amplitude*sqrt(num_waves)*sqrt(3)*max_freq ≈ 0.59 at the
+    defaults (ADVICE r3 corrected the earlier ≈0.34 figure, which missed
+    the sqrt(3) per-axis factor) — a strong local
     Lipschitz violation vs the field's 1, while staying spatially smooth
     like a converged MLP's error (white noise would model an untrained
     net, which no selection scheme — including the reference's dense scan

@@ -80,10 +80,11 @@ def main() -> None:
     mano = ManoBuffers.from_model(make_synthetic_mano(0))
     setups = []
     for name, overrides in matrix:
-        # Production eval mode, like bench.py's CLI default — the config
-        # default sdf_infer_mode="full" is the 927 ms/step dense parity
-        # scan, on which hier_levels/paired knobs are no-ops (a first A/B
-        # run silently measured exactly that: every variant 21.0 f/s).
+        # Production eval mode.  Since round 4 the config default IS
+        # "hier"; the explicit pin stays so an A/B matrix can never
+        # silently regress to the 927 ms/step dense parity scan (a
+        # pre-round-3 A/B run measured exactly that: every variant
+        # 21.0 f/s because hier_levels knobs are no-ops under "full").
         overrides = {"sdf_infer_mode": "hier", **overrides}
         cfg = get_config(args.setting, **overrides)
         model = build_model(cfg)

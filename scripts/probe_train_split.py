@@ -39,9 +39,9 @@ def main():
     p.add_argument("--cpu", action="store_true")
     p.add_argument(
         "--mode", default="hier", choices=("hier", "coarse2fine", "full"),
-        help="sdf_infer_mode for the field-sampling branch (the config "
-        "default 'full' is the dense parity scan — 927 ms/step at batch 22, "
-        "NOT the production sampler; every deployed entry point uses 'hier')",
+        help="sdf_infer_mode for the field-sampling branch ('hier' is the "
+        "production sampler and, since round 4, the config default; 'full' "
+        "is the dense parity scan — 927 ms/step at batch 22)",
     )
     p.add_argument(
         "--setting", default="dexycb",

@@ -77,3 +77,69 @@ def test_evalutil_auc():
     np.testing.assert_allclose(epe_mean, np.sqrt(3 * 0.01**2), rtol=1e-6)
     assert 0.5 < auc < 1.0
     assert curve[0] == 0.0 and curve[-1] == 1.0
+
+
+def test_mesh_metrics_batch_matches_per_sample_loop():
+    """The batched dexycb_full mesh-metrics path (one device call per
+    batch, VERDICT r3 #7) must reproduce the per-sample reference
+    computation exactly: vmapped rigid_align + correspondence EPE +
+    pairwise F-scores vs one-mesh-at-a-time calls."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from hoisdf_tpu.metrics import fscore, mesh_metrics_batch
+    from hoisdf_tpu.ops.rotations import rigid_align
+
+    rng = np.random.RandomState(7)
+    b, n = 4, 96  # small mesh keeps the O(n^2) CPU test fast
+    gt = rng.randn(b, n, 3).astype(np.float32) * 0.05
+    pred = (gt + rng.randn(b, n, 3).astype(np.float32) * 0.004)
+    threshs = (0.005, 0.015)
+
+    mm = jax.device_get(
+        mesh_metrics_batch(jnp.asarray(gt), jnp.asarray(pred), threshs)
+    )
+
+    for i in range(b):
+        gv, pv = jnp.asarray(gt[i]), jnp.asarray(pred[i])
+        aligned = rigid_align(pv, gv)
+        np.testing.assert_allclose(
+            mm["epe_dist"][i], np.linalg.norm(gt[i] - pred[i], axis=-1),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            mm["epe_dist_aligned"][i],
+            np.linalg.norm(gt[i] - np.asarray(aligned), axis=-1),
+            atol=1e-5,
+        )
+        for j, t in enumerate(threshs):
+            np.testing.assert_allclose(
+                mm["fscores"][i][j], float(fscore(gv, pv, t)), atol=1e-6
+            )
+            np.testing.assert_allclose(
+                mm["fscores_aligned"][i][j], float(fscore(gv, aligned, t)),
+                atol=1e-6,
+            )
+
+    # The batched call must beat the per-sample loop (5 device round-trips
+    # per mesh).  Warm both paths first so this times steady-state dispatch,
+    # not compilation; generous 1.5x bar keeps the test robust on CI.
+    def loop_path():
+        for i in range(b):
+            gv, pv = jnp.asarray(gt[i]), jnp.asarray(pred[i])
+            aligned = rigid_align(pv, gv)
+            for t in threshs:
+                float(fscore(gv, pv, t))
+                float(fscore(gv, aligned, t))
+
+    def batch_path():
+        jax.device_get(
+            mesh_metrics_batch(jnp.asarray(gt), jnp.asarray(pred), threshs)
+        )
+
+    loop_path(); batch_path()
+    t0 = time.perf_counter(); loop_path(); t_loop = time.perf_counter() - t0
+    t0 = time.perf_counter(); batch_path(); t_batch = time.perf_counter() - t0
+    assert t_batch < t_loop / 1.5, (t_batch, t_loop)
