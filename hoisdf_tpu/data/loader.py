@@ -1,9 +1,21 @@
-"""Threaded prefetching data loader.
+"""Threaded prefetching data loader with multi-host sharding.
 
 Replaces torch's DataLoader (common/base.py:79-92: 15 workers, shuffle,
 drop_last) with a thread-pool pipeline: samples are decoded concurrently and
 batches stacked ahead of consumption, keeping the TPU fed without a torch
 dependency.  Epoch-aware so per-sample RNG streams are reproducible.
+
+Multi-host (SURVEY §5 "input pipeline sharded per host"): on a pod slice
+every JAX process constructs the SAME global per-epoch permutation (the
+shuffle RNG is keyed off ``(seed, epoch)`` only), then takes the strided
+slice ``order[shard_id::num_shards]`` — disjoint across hosts by
+construction — trimmed to ``n // num_shards`` entries so every host steps
+the same number of batches per epoch (a requirement for SPMD lockstep; up
+to ``num_shards - 1`` samples are dropped per epoch, different ones each
+epoch under shuffle).  ``shard_id``/``num_shards`` default to
+``jax.process_index()``/``jax.process_count()``, so single-process runs are
+byte-identical to the unsharded loader and pod runs shard automatically.
+See docs/SCALING.md §"Multi-host data sharding".
 """
 
 from __future__ import annotations
@@ -16,6 +28,18 @@ from typing import Dict, Iterator, Optional
 import numpy as np
 
 
+def _default_shard() -> tuple:
+    """(process_index, process_count) — (0, 1) when jax is unavailable or
+    uninitialized (pure-numpy fixture tests import this module without a
+    backend)."""
+    try:
+        import jax
+
+        return jax.process_index(), jax.process_count()
+    except Exception:  # noqa: BLE001
+        return 0, 1
+
+
 class DataLoader:
     def __init__(
         self,
@@ -26,6 +50,8 @@ class DataLoader:
         drop_last: bool = False,
         seed: int = 0,
         prefetch_batches: int = 2,
+        shard_id: Optional[int] = None,
+        num_shards: Optional[int] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -35,12 +61,24 @@ class DataLoader:
         self.seed = seed
         self.prefetch_batches = prefetch_batches
         self.epoch = 0
+        if (shard_id is None) != (num_shards is None):
+            raise ValueError("pass both shard_id and num_shards, or neither")
+        if shard_id is None:
+            shard_id, num_shards = _default_shard()
+        if not (0 <= shard_id < num_shards):
+            raise ValueError(f"shard_id {shard_id} not in [0, {num_shards})")
+        self.shard_id = int(shard_id)
+        self.num_shards = int(num_shards)
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
+    def _shard_len(self) -> int:
+        return len(self.dataset) // self.num_shards if self.num_shards > 1 \
+            else len(self.dataset)
+
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = self._shard_len()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -49,6 +87,8 @@ class DataLoader:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng((self.seed, self.epoch)).shuffle(idx)
+        if self.num_shards > 1:
+            idx = idx[self.shard_id :: self.num_shards][: self._shard_len()]
         return idx
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:

@@ -40,6 +40,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, data_axis: str = "data"):
-    """Place every array in the batch pytree with its batch dim sharded."""
+    """Place every array in the batch pytree with its batch dim sharded.
+
+    Multi-host aware: on a pod slice (``jax.process_count() > 1``) each
+    process holds only its DataLoader shard's slice of the global batch
+    (docs/SCALING.md), so the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — each host contributes its
+    local rows, XLA sees one global array sharded over ``data``.  Single
+    process falls back to a plain ``device_put`` (identical result).
+    """
     sh = batch_sharding(mesh, data_axis)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            batch,
+        )
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)

@@ -157,6 +157,12 @@ def parse_args():
              "replicates like the reference's DataParallel",
     )
     p.add_argument(
+        "--multihost", action="store_true",
+        help="call jax.distributed.initialize() before backend use (required "
+             "on multi-host pod slices; coordinator/process env comes from "
+             "the TPU metadata service — docs/SCALING.md §multi-host)",
+    )
+    p.add_argument(
         "--cfg", action="append", default=[], metavar="KEY=VALUE",
         help="config field override (repeatable); VALUE is parsed as JSON "
              "with a plain-string fallback, e.g. --cfg annotation_dir=/data "
@@ -167,6 +173,10 @@ def parse_args():
 
 def main():
     args = parse_args()
+    if args.multihost:
+        # Must precede any backend use; on Cloud TPU the coordinator address
+        # and process index auto-resolve from the metadata service.
+        jax.distributed.initialize()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     from hoisdf_tpu.utils.compile_cache import enable as _enable_cc
@@ -230,9 +240,14 @@ def main():
             from hoisdf_tpu.data.ho3d import HO3DDataset
 
             dataset = HO3DDataset(cfg, "train", mano_model, seed=cfg.seed)
-        n_dev = len(jax.devices())
+        # Per-HOST batch: this process feeds its local devices only; the
+        # DataLoader's process-keyed shard + shard_batch's
+        # make_array_from_process_local_data assemble the global
+        # train_batch_size * len(jax.devices()) batch across hosts
+        # (docs/SCALING.md §multi-host; single process: local == global).
+        n_local = jax.local_device_count()
         loader = DataLoader(
-            dataset, cfg.train_batch_size * n_dev, shuffle=True,
+            dataset, cfg.train_batch_size * n_local, shuffle=True,
             num_workers=cfg.num_data_workers, drop_last=True, seed=cfg.seed,
         )
         iters_per_epoch = args.iters_per_epoch or len(loader)

@@ -46,3 +46,61 @@ def test_sample_rng_depends_on_epoch():
     r0 = ds.__getitem__(3, epoch=0)["r"]
     r1 = ds.__getitem__(3, epoch=1)["r"]
     assert not np.array_equal(r0, r1)
+
+
+# ---- multi-host sharding (docs/SCALING.md; SURVEY §5 "input pipeline
+# sharded per host") --------------------------------------------------------
+
+
+def _shard_indices(num_shards, epoch, shuffle=True):
+    out = []
+    for sid in range(num_shards):
+        dl = DataLoader(
+            ToyDataset(), batch_size=23, shuffle=shuffle, seed=1,
+            shard_id=sid, num_shards=num_shards,
+        )
+        dl.set_epoch(epoch)
+        out.append(np.concatenate([b["x"][:, 0] for b in dl]).astype(int))
+    return out
+
+def test_shards_are_disjoint_and_equal_length():
+    """Every simulated host gets a disjoint, equal-length slice of the
+    global epoch permutation (VERDICT r3 #3 'done' criterion)."""
+    for num_shards in (2, 3):
+        shards = _shard_indices(num_shards, epoch=0)
+        lens = {len(s) for s in shards}
+        assert lens == {23 // num_shards}, lens  # SPMD lockstep: equal steps
+        flat = np.concatenate(shards)
+        assert len(set(flat.tolist())) == len(flat)  # disjoint
+        assert set(flat.tolist()) <= set(range(23))
+
+
+def test_shard_partition_is_deterministic_and_epoch_varies():
+    a = _shard_indices(2, epoch=0)
+    b = _shard_indices(2, epoch=0)
+    c = _shard_indices(2, epoch=1)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+    assert any(not np.array_equal(x, y) for x, y in zip(a, c))
+
+
+def test_default_single_process_shard_is_identity():
+    """With jax reporting one process, explicit (0, 1) and the default must
+    both reproduce the unsharded loader exactly."""
+    base = np.concatenate(
+        [b["x"][:, 0] for b in DataLoader(ToyDataset(), 4, seed=1)]
+    )
+    dflt = np.concatenate(
+        [b["x"][:, 0] for b in DataLoader(ToyDataset(), 4, seed=1,
+                                          shard_id=0, num_shards=1)]
+    )
+    np.testing.assert_array_equal(base, dflt)
+
+
+def test_shard_arg_validation():
+    import pytest
+
+    with pytest.raises(ValueError):
+        DataLoader(ToyDataset(), 4, shard_id=1)  # missing num_shards
+    with pytest.raises(ValueError):
+        DataLoader(ToyDataset(), 4, shard_id=2, num_shards=2)  # out of range
