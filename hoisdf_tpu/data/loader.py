@@ -20,12 +20,26 @@ See docs/SCALING.md §"Multi-host data sharding".
 
 from __future__ import annotations
 
+import multiprocessing
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Dict, Iterator, Optional
 
 import numpy as np
+
+# Fork-inherited dataset for process workers: set in the parent immediately
+# before forking the pool so children get it by COW inheritance instead of a
+# per-task (or even per-worker) pickle of the whole dataset.  PIL decode and
+# numpy already release the GIL, so threads are the default; process mode is
+# for datasets whose per-sample cost is dominated by Python bytecode (see
+# scripts/bench_loader.py for the measured split).
+_FORK_DATASET = None
+
+
+def _process_fetch(args) -> dict:
+    i, epoch = args
+    return _FORK_DATASET.__getitem__(int(i), epoch=epoch)
 
 
 def _default_shard() -> tuple:
@@ -52,6 +66,7 @@ class DataLoader:
         prefetch_batches: int = 2,
         shard_id: Optional[int] = None,
         num_shards: Optional[int] = None,
+        worker_mode: str = "thread",
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -69,6 +84,14 @@ class DataLoader:
             raise ValueError(f"shard_id {shard_id} not in [0, {num_shards})")
         self.shard_id = int(shard_id)
         self.num_shards = int(num_shards)
+        if worker_mode not in ("thread", "process"):
+            raise ValueError(f"worker_mode {worker_mode!r}")
+        # "process": fork-inherited ProcessPoolExecutor — sidesteps the GIL
+        # for Python-bound datasets (the reference uses 15 worker PROCESSES,
+        # common/base.py:83).  Fork the pool before heavy jax/TPU backend
+        # use: forking with a live TPU client is unsafe, so loaders are
+        # created at startup (train_loop does) or kept in thread mode.
+        self.worker_mode = worker_mode
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
@@ -91,22 +114,36 @@ class DataLoader:
             idx = idx[self.shard_id :: self.num_shards][: self._shard_len()]
         return idx
 
+    def _make_pool(self):
+        if self.worker_mode == "process":
+            global _FORK_DATASET
+            _FORK_DATASET = self.dataset
+            pool = ProcessPoolExecutor(
+                self.num_workers, mp_context=multiprocessing.get_context("fork")
+            )
+            epoch = self.epoch
+            return pool, lambda ids, p=pool: p.map(
+                _process_fetch, [(int(i), epoch) for i in ids]
+            )
+        pool = ThreadPoolExecutor(self.num_workers)
+        epoch = self.epoch
+        fetch = lambda i: self.dataset.__getitem__(int(i), epoch=epoch)  # noqa: E731
+        return pool, lambda ids, p=pool: p.map(fetch, ids)
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = self._order()
         n_batches = len(self)
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
         stop = threading.Event()
 
-        def fetch(i: int):
-            return self.dataset.__getitem__(int(i), epoch=self.epoch)
-
         def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
+            pool, run = self._make_pool()
+            with pool:
                 for b in range(n_batches):
                     if stop.is_set():
                         return
                     ids = order[b * self.batch_size : (b + 1) * self.batch_size]
-                    samples = list(pool.map(fetch, ids))
+                    samples = list(run(ids))
                     batch = {
                         k: np.stack([s[k] for s in samples])
                         for k in samples[0]

@@ -249,6 +249,7 @@ def main():
         loader = DataLoader(
             dataset, cfg.train_batch_size * n_local, shuffle=True,
             num_workers=cfg.num_data_workers, drop_last=True, seed=cfg.seed,
+            worker_mode=cfg.data_worker_mode,
         )
         iters_per_epoch = args.iters_per_epoch or len(loader)
 

@@ -104,3 +104,22 @@ def test_shard_arg_validation():
         DataLoader(ToyDataset(), 4, shard_id=1)  # missing num_shards
     with pytest.raises(ValueError):
         DataLoader(ToyDataset(), 4, shard_id=2, num_shards=2)  # out of range
+
+
+def test_process_worker_mode_matches_thread_mode():
+    """The fork-inherited process pool (docs/PERFORMANCE.md loader table:
+    thread scaling is Amdahl-capped at ~4.2x by the 24% GIL-held fraction,
+    so production training uses data_worker_mode='process') must produce
+    byte-identical batches in identical order to the default thread pool."""
+    kw = dict(batch_size=4, shuffle=True, seed=3, num_workers=2)
+    dl_t = DataLoader(ToyDataset(), worker_mode="thread", **kw)
+    dl_p = DataLoader(ToyDataset(), worker_mode="process", **kw)
+    for epoch in (0, 1):
+        dl_t.set_epoch(epoch)
+        dl_p.set_epoch(epoch)
+        bt, bp = list(dl_t), list(dl_p)
+        assert len(bt) == len(bp)
+        for a, b in zip(bt, bp):
+            assert a.keys() == b.keys()
+            for k in a:
+                np.testing.assert_array_equal(a[k], b[k])
