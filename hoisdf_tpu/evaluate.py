@@ -314,7 +314,7 @@ def main():
                 templates = np.random.RandomState(0).randn(
                     args.batch_size, 100, 3
                 ).astype(np.float32) * 0.05
-                yield inputs, targets, templates
+                yield inputs, targets, templates, args.batch_size
     else:
         # Real dataset eval (main/test.py:84-118): simplified YCB templates
         # + the test/evaluation split.
@@ -331,9 +331,14 @@ def main():
         templates_by_cls, obj_names = prepare_model_templates(
             cfg.simple_object_models_dir
         )
+        # drop_last=False: the reference evaluates EVERY test sample (its
+        # test loader never drops the tail, common/base.py:163-169).  The
+        # short final batch is padded back to full size below so the jitted
+        # eval step keeps one static shape (no tail recompile through the
+        # remote-compile tunnel); padded rows are trimmed before metrics.
         loader = DataLoader(
             dataset, args.batch_size, shuffle=False,
-            num_workers=cfg.num_data_workers, drop_last=True,
+            num_workers=cfg.num_data_workers, drop_last=False,
         )
 
         if cfg.dataset == "ho3d":
@@ -352,21 +357,40 @@ def main():
             def template_for(c: int) -> np.ndarray:
                 return templates_by_cls[int(c) - 1]
 
+        def _pad_full(d: dict, n: int) -> dict:
+            return {
+                k: np.concatenate(
+                    [v] + [v[-1:]] * (args.batch_size - n), axis=0
+                )
+                for k, v in d.items()
+            }
+
         def batches():
             for b in loader:
                 inputs = {k: v for k, v in b.items() if not k.startswith("target_")}
                 targets = {k[7:]: v for k, v in b.items() if k.startswith("target_")}
+                valid = int(next(iter(inputs.values())).shape[0])
+                if valid < args.batch_size:
+                    inputs = _pad_full(inputs, valid)
+                    targets = _pad_full(targets, valid)
                 templates = np.stack(
                     [template_for(c) for c in inputs["obj_cls"]]
                 )
-                yield inputs, targets, templates
+                yield inputs, targets, templates, valid
 
     # One-batch lookahead: dispatch batch i+1's eval step (JAX async) before
     # pulling batch i's outputs to host for metrics, overlapping the remote
     # dispatch + device compute with the host-side metric work (the
     # reference's loop is fully serial, main/test.py:119-227).
+    def _feed(preds, targets, inputs, templates, valid):
+        if valid < args.batch_size:  # trim the tail-batch padding
+            trim = lambda d: {k: v[:valid] for k, v in d.items()}  # noqa: E731
+            preds, targets, inputs = trim(preds), trim(targets), trim(inputs)
+            templates = templates[:valid]
+        evaluator.feed(preds, targets, inputs, templates)
+
     pending = None
-    for inputs, targets, templates in batches():
+    for inputs, targets, templates, valid in batches():
         with mesh:
             inputs_j = shard_batch(
                 {k: jnp.asarray(v) for k, v in inputs.items()
@@ -374,10 +398,10 @@ def main():
             )
             preds = eval_step(params, batch_stats, inputs_j)
         if pending is not None:
-            evaluator.feed(*pending)
-        pending = (preds, targets, inputs, jnp.asarray(templates))
+            _feed(*pending)
+        pending = (preds, targets, inputs, jnp.asarray(templates), valid)
     if pending is not None:
-        evaluator.feed(*pending)
+        _feed(*pending)
 
     os.makedirs(args.out, exist_ok=True)
     path = evaluator.write_results(args.out)

@@ -18,6 +18,15 @@ attempts (each constraint hit in turn):
   3. dynamic `pl.ds` starts on the sublane dim (-2) must be provably
      8-aligned — arbitrary per-point corner columns cannot satisfy this
      without an 8x sublane-padding relayout of the feature maps.
+Round-4 retest (2026-08-18, post the stack upgrade that cleared the
+(2,1024) fused-graph fault): RE-BLOCKED, and the failure mode got WORSE —
+this kernel now crashes the remote tpu_compile_helper subprocess outright
+(HTTP 500, exit 1) instead of raising the clean alignment MosaicError, and
+even a minimal repro (single dynamic-sublane `pl.ds(y, 1)` row gather from
+a [128,128] VMEM block in a fori_loop) HANGS the chipless AOT compiler
+>600 s.  Known-good kernels (sdf_mlp at a fresh tile) compile fine in the
+same session, so this is kernel-specific, not infra.  Do not re-attempt
+until a libtpu/Mosaic upgrade; re-run /tmp-style minimal repro first.
 The production path instead routes small levels through the exact one-hot
 matmul (MXU) and keeps XLA gathers for stride2/4/8; see CLAUDE.md perf notes.
 """

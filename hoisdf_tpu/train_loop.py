@@ -411,9 +411,12 @@ def main():
                     from hoisdf_tpu.data.dexycb import YCB_CLASSES
 
                     eval_ds = DexYCBDataset(cfg, "test", mano_model, mano_left=mano_left, seed=cfg.seed)
+                    # drop_last=False like the reference's Evaler
+                    # (common/base.py:205-211); the tail batch is padded to
+                    # the static jit shape and trimmed before metrics.
                     eval_loader = DataLoader(
                         eval_ds, cfg.eval_batch_size, shuffle=False,
-                        num_workers=cfg.num_data_workers, drop_last=True,
+                        num_workers=cfg.num_data_workers, drop_last=False,
                     )
                     meshes, _, _ = load_object_library(
                         cfg.simple_object_models_dir or "", YCB_CLASSES,
@@ -422,11 +425,25 @@ def main():
                     ev = Evaluator(cfg, mano)
                     for eval_itr, eb in enumerate(eval_loader):
                         e_in, e_tg = split_inputs_targets(eb)
+                        valid = int(next(iter(e_in.values())).shape[0])
+                        if valid < cfg.eval_batch_size:
+                            pad = lambda d: {  # noqa: E731
+                                k: np.concatenate(
+                                    [v] + [v[-1:]] * (cfg.eval_batch_size - valid),
+                                    axis=0,
+                                ) for k, v in d.items()
+                            }
+                            e_in, e_tg = pad(e_in), pad(e_tg)
                         preds = eval_step(
                             state.params, state.batch_stats,
                             {k: jnp.asarray(v) for k, v in e_in.items()
                              if k != "obj_cls"},
                         )
+                        if valid < cfg.eval_batch_size:
+                            trim = lambda d: {  # noqa: E731
+                                k: v[:valid] for k, v in d.items()
+                            }
+                            preds, e_in, e_tg = trim(preds), trim(e_in), trim(e_tg)
                         if eval_itr == 0:
                             # Debug-image grids during REAL training, matching
                             # the reference's TensorBoard dumps

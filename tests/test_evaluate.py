@@ -109,7 +109,12 @@ def test_ho3d_real_eval_end_to_end(tmp_path, monkeypatch):
     """Drives evaluate.main()'s REAL (non-synthetic) batches() loop over an
     HO3D evaluation fixture in the reference's on-disk layout, all the way to
     a results.txt with finite ADD-S/MME and a pred_mano.json
-    (main/test.py:119-265 end-to-end; VERDICT r2 'Missing #1')."""
+    (main/test.py:119-265 end-to-end; VERDICT r2 'Missing #1').
+
+    11 samples at batch 8: the short tail batch must be padded to the
+    static jit shape, evaluated, and trimmed — the reference never drops
+    eval samples (common/base.py:163-169 has no drop_last), so all 11 must
+    reach the codalab dump."""
     import json
     import os
     import pickle
@@ -139,7 +144,7 @@ def test_ho3d_real_eval_end_to_end(tmp_path, monkeypatch):
     for d in ("rgb", "meta"):
         os.makedirs(root / "evaluation" / seq / d)
     keys = []
-    for i in range(8):  # divisible by the 8-device test mesh
+    for i in range(11):  # NOT divisible by batch 8: exercises tail padding
         frame = f"{i:04d}"
         keys.append(f"{seq}/{frame}")
         Image.fromarray(
@@ -189,7 +194,7 @@ def test_ho3d_real_eval_end_to_end(tmp_path, monkeypatch):
     assert np.isfinite(metrics["MME_error"])
     with open(out_dir / "pred_mano.json") as f:
         joints, verts = json.load(f)
-    assert len(joints) == 8 and len(verts) == 8
+    assert len(joints) == 11 and len(verts) == 11
     assert np.asarray(joints[0]).shape == (21, 3)
     assert np.asarray(verts[0]).shape == (778, 3)
 
