@@ -72,6 +72,27 @@ def test_read_baseline_filters_metric_and_mode(bench):
     assert mod._read_baseline("ho3d_eval_inference_throughput", "pipelined") == 50.0
 
 
+def test_read_baseline_sampler_defaults_by_metric(bench):
+    """Sampler-less legacy entries default by metric (ADVICE r3 #1):
+    pre-round-3 cpu_smoke rounds ran the dense 'full' scan, so a hier CPU
+    run must NOT anchor against them; TPU rounds were always hier, so the
+    lenient match stays for real-chip metrics."""
+    mod, tmp = bench
+    smoke = METRIC + "_cpu_smoke"
+    _write(tmp, "BENCH_r1.json", {"parsed": {"metric": smoke, "value": 5.0}})
+    # hier CPU run: the sampler-less legacy smoke is treated as 'full'
+    assert mod._read_baseline(smoke, "pipelined", "hier") is None
+    # a full-scan CPU run can still anchor against it
+    assert mod._read_baseline(smoke, "pipelined", "full") == 5.0
+    # TPU metric: sampler-less legacy entries keep matching hier
+    _write(tmp, "BENCH_r2.json", {"parsed": {"metric": METRIC, "value": 80.0}})
+    assert mod._read_baseline(METRIC, "pipelined", "hier") == 80.0
+    # explicit sampler fields always filter exactly
+    _write(tmp, "BENCH_r3.json", {"parsed": {
+        "metric": smoke, "value": 7.0, "sampler": "hier"}})
+    assert mod._read_baseline(smoke, "pipelined", "hier") == 7.0
+
+
 def test_ladder_falls_back_to_fresh_process_on_same_batch(bench, monkeypatch):
     """First in-process attempt fails -> a fresh-process retry runs at the
     SAME batch before descending the ladder (incl. single-entry ladders)."""
