@@ -136,6 +136,18 @@ class DataLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            """Bounded put that gives up when the consumer is gone — a caller
+            abandoning the iterator mid-epoch must not strand the producer on
+            a full queue (in process mode that would leak forked workers)."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             pool, run = self._make_pool()
             with pool:
@@ -148,8 +160,9 @@ class DataLoader:
                         k: np.stack([s[k] for s in samples])
                         for k in samples[0]
                     }
-                    out_q.put(batch)
-            out_q.put(None)
+                    if not put(batch):
+                        return
+            put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()

@@ -106,6 +106,28 @@ def test_shard_arg_validation():
         DataLoader(ToyDataset(), 4, shard_id=2, num_shards=2)  # out of range
 
 
+def test_abandoned_iterator_releases_producer():
+    """Breaking out of the batch loop mid-epoch must not strand the
+    producer thread on a full prefetch queue (in process mode that would
+    leak a forked worker pool per abandoned epoch)."""
+    import gc
+    import threading
+    import time
+
+    before = threading.active_count()
+    for _ in range(5):
+        it = iter(DataLoader(ToyDataset(), 2, prefetch_batches=1))
+        next(it)  # producer now blocked on the full queue
+        it.close()  # generator finally: stop.set()
+    gc.collect()
+    deadline = time.time() + 10
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.1)
+    assert threading.active_count() <= before + 1, threading.active_count()
+    # and a fresh full iteration still works afterwards
+    assert len(list(DataLoader(ToyDataset(), 4))) == 6
+
+
 def test_process_worker_mode_matches_thread_mode():
     """The fork-inherited process pool (docs/PERFORMANCE.md loader table:
     thread scaling is Amdahl-capped at ~4.2x by the 24% GIL-held fraction,
