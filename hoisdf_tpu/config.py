@@ -226,14 +226,14 @@ class Config:
     mesh_axis_data: str = "data"
     num_data_workers: int = 15
     # Loader worker pool kind.  Measured (scripts/bench_loader.py, production
-    # shapes): 56.6 samples/s/core single-caller, 76% of per-sample time in
-    # GIL-releasing C extensions -> Amdahl caps THREAD scaling at ~4.2x one
-    # core (~238 samples/s), only ~1.6x the 147.9 f/s train step.  "process"
-    # (fork-inherited ProcessPoolExecutor, the reference's choice —
+    # shapes): 63.5 samples/s/core single-caller, 77% of per-sample time in
+    # GIL-releasing C extensions -> Amdahl caps THREAD scaling at ~4.4x one
+    # core (~200-280 samples/s), under 2x the 147.9 f/s train step.
+    # "process" (fork-inherited ProcessPoolExecutor, the reference's choice —
     # common/base.py:83 uses 15 processes) scales with cores instead; use it
-    # for production multi-epoch training on many-core hosts.  Fork the
-    # loader before heavy TPU-client use (train_loop's construction order
-    # already does).
+    # for production multi-epoch training on many-core hosts.  The pool
+    # forks once, eagerly, in DataLoader.__init__ — construct the loader
+    # before jit compiles / TPU dispatches (train_loop's order does).
     data_worker_mode: str = "thread"
     seed: int = 0
 

@@ -336,9 +336,13 @@ def main():
         # short final batch is padded back to full size below so the jitted
         # eval step keeps one static shape (no tail recompile through the
         # remote-compile tunnel); padded rows are trimmed before metrics.
+        # Explicitly UNSHARDED: evaluation is a single-host pass over the
+        # full split (metrics aggregate in host Python) — on a pod run it
+        # on process 0 only (docs/SCALING.md), never auto-shard it.
         loader = DataLoader(
             dataset, args.batch_size, shuffle=False,
             num_workers=cfg.num_data_workers, drop_last=False,
+            shard_id=0, num_shards=1,
         )
 
         if cfg.dataset == "ho3d":
@@ -357,22 +361,16 @@ def main():
             def template_for(c: int) -> np.ndarray:
                 return templates_by_cls[int(c) - 1]
 
-        def _pad_full(d: dict, n: int) -> dict:
-            return {
-                k: np.concatenate(
-                    [v] + [v[-1:]] * (args.batch_size - n), axis=0
-                )
-                for k, v in d.items()
-            }
-
         def batches():
+            from hoisdf_tpu.data.loader import pad_batch
+
             for b in loader:
                 inputs = {k: v for k, v in b.items() if not k.startswith("target_")}
                 targets = {k[7:]: v for k, v in b.items() if k.startswith("target_")}
                 valid = int(next(iter(inputs.values())).shape[0])
                 if valid < args.batch_size:
-                    inputs = _pad_full(inputs, valid)
-                    targets = _pad_full(targets, valid)
+                    inputs = pad_batch(inputs, args.batch_size)
+                    targets = pad_batch(targets, args.batch_size)
                 templates = np.stack(
                     [template_for(c) for c in inputs["obj_cls"]]
                 )
@@ -384,8 +382,12 @@ def main():
     # reference's loop is fully serial, main/test.py:119-227).
     def _feed(preds, targets, inputs, templates, valid):
         if valid < args.batch_size:  # trim the tail-batch padding
-            trim = lambda d: {k: v[:valid] for k, v in d.items()}  # noqa: E731
-            preds, targets, inputs = trim(preds), trim(targets), trim(inputs)
+            from hoisdf_tpu.data.loader import trim_batch
+
+            preds, targets, inputs = (
+                trim_batch(preds, valid), trim_batch(targets, valid),
+                trim_batch(inputs, valid),
+            )
             templates = templates[:valid]
         evaluator.feed(preds, targets, inputs, templates)
 

@@ -233,17 +233,29 @@ def scaled_to_cam(pts_scaled, center, sdf_scale):
     return pts_scaled / scale + center[:, None, :]
 
 
-def _in_bbox(pts_scaled, center, cam_intr, bbox, sdf_scale):
-    """Project scaled-frame points and test against the 2D pixel bbox."""
+def _in_bbox(pts_scaled, center, cam_intr, bbox, sdf_scale, z_guard=False):
+    """Project scaled-frame points and test against the 2D pixel bbox.
+
+    ``z_guard=False`` (default) divides by projected z unguarded, exactly
+    like the reference's filter (main/model.py:291-301) and the dense-scan
+    oracle — the hier cascade's FINAL selection stage uses this so its
+    in-box decisions stay bit-identical to "full" mode.  ``z_guard=True``
+    additionally treats z <= eps points as in-box (conservative) — PRUNING
+    decisions use this so a camera-plane-straddling point can never be
+    wrongly discarded (ADVICE r3; unreachable at production geometry).
+    """
     cam_pts = scaled_to_cam(pts_scaled, center, sdf_scale)
     p2d = jnp.einsum("bpc,bkc->bpk", cam_pts, cam_intr)
     pix = p2d[..., :2] / p2d[..., 2:3]
-    return (
+    inside = (
         (pix[..., 0] > bbox[:, None, 0])
         & (pix[..., 0] < bbox[:, None, 2])
         & (pix[..., 1] > bbox[:, None, 1])
         & (pix[..., 1] < bbox[:, None, 3])
     )
+    if z_guard:
+        inside = inside | (p2d[..., 2] <= jnp.asarray(1e-6, p2d.dtype))
+    return inside
 
 
 def _cell_overlaps_bbox(probe_pts, factor, step, center, cam_intr, bbox,
@@ -272,7 +284,10 @@ def _cell_overlaps_bbox(probe_pts, factor, step, center, cam_intr, bbox,
     implicit precondition.
     """
     if factor == 1:
-        return _in_bbox(probe_pts, center, cam_intr, bbox, sdf_scale)
+        # pruning decision -> z-guarded (the final SELECTION test at the
+        # leaf stage stays unguarded for bit-parity with the dense scan)
+        return _in_bbox(probe_pts, center, cam_intr, bbox, sdf_scale,
+                        z_guard=True)
     h = (factor - 1) * 0.5 * step
     corners = np.array(
         [[sx * h, sy * h, sz * h]

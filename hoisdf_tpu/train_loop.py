@@ -403,9 +403,16 @@ def main():
                         os.path.join(out_root, "debug_images"), int(state.step),
                         preds, e_tg, writer=writer,
                     )
-                elif cfg.dataset == "dexycb" and cfg.annotation_dir:
+                elif (
+                    cfg.dataset == "dexycb" and cfg.annotation_dir
+                    and jax.process_count() == 1
+                ):
                     # Real eval-during-training (main/train.py:164-557 /
                     # common/base.py Evaler): same params, eval-mode forward.
+                    # Single-process only: metrics aggregate in host Python
+                    # and the eval step feeds host-local arrays — on a pod
+                    # (--multihost) skip it and run evaluate.py on process 0
+                    # against a saved snapshot instead (docs/SCALING.md).
                     from hoisdf_tpu.data.dexycb import DexYCBDataset
                     from hoisdf_tpu.data.meshes import load_object_library
                     from hoisdf_tpu.data.dexycb import YCB_CLASSES
@@ -414,36 +421,35 @@ def main():
                     # drop_last=False like the reference's Evaler
                     # (common/base.py:205-211); the tail batch is padded to
                     # the static jit shape and trimmed before metrics.
+                    # Explicitly UNSHARDED: this is a single-host monitoring
+                    # pass over the full test split.
                     eval_loader = DataLoader(
                         eval_ds, cfg.eval_batch_size, shuffle=False,
                         num_workers=cfg.num_data_workers, drop_last=False,
+                        shard_id=0, num_shards=1,
                     )
                     meshes, _, _ = load_object_library(
                         cfg.simple_object_models_dir or "", YCB_CLASSES,
                         mesh_file="textured_simple_2000.obj",
                     ) if cfg.simple_object_models_dir else ({}, {}, {})
                     ev = Evaluator(cfg, mano)
+                    from hoisdf_tpu.data.loader import pad_batch, trim_batch
+
                     for eval_itr, eb in enumerate(eval_loader):
                         e_in, e_tg = split_inputs_targets(eb)
                         valid = int(next(iter(e_in.values())).shape[0])
                         if valid < cfg.eval_batch_size:
-                            pad = lambda d: {  # noqa: E731
-                                k: np.concatenate(
-                                    [v] + [v[-1:]] * (cfg.eval_batch_size - valid),
-                                    axis=0,
-                                ) for k, v in d.items()
-                            }
-                            e_in, e_tg = pad(e_in), pad(e_tg)
+                            e_in = pad_batch(e_in, cfg.eval_batch_size)
+                            e_tg = pad_batch(e_tg, cfg.eval_batch_size)
                         preds = eval_step(
                             state.params, state.batch_stats,
                             {k: jnp.asarray(v) for k, v in e_in.items()
                              if k != "obj_cls"},
                         )
                         if valid < cfg.eval_batch_size:
-                            trim = lambda d: {  # noqa: E731
-                                k: v[:valid] for k, v in d.items()
-                            }
-                            preds, e_in, e_tg = trim(preds), trim(e_in), trim(e_tg)
+                            preds = trim_batch(preds, valid)
+                            e_in = trim_batch(e_in, valid)
+                            e_tg = trim_batch(e_tg, valid)
                         if eval_itr == 0:
                             # Debug-image grids during REAL training, matching
                             # the reference's TensorBoard dumps

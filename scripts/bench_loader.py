@@ -183,18 +183,17 @@ def main() -> None:
         # warm one batch (pool spin-up, page cache)
         next(iter(dl))
         done = 0
+        total = 0  # count ACTUAL samples — every epoch can end in a short
+        # tail batch with drop_last=False, not just the last one measured
         t0 = time.perf_counter()
         while done < args.batches:
             dl.set_epoch(done)
             for b in dl:
                 done += 1
-                n_last = b["img"].shape[0]
+                total += int(b["img"].shape[0])
                 if done >= args.batches:
                     break
         dt = time.perf_counter() - t0
-        # count actual samples: full batches + possible remainder
-        total = args.batches * args.batch
-        total -= max(0, args.batch - n_last) if n_last != args.batch else 0
         fps = total / dt
         results[mode] = fps
         emit({

@@ -31,17 +31,28 @@ import sys
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CHILD_FLAG = "_HOISDF_MULTIHOST_CHILD"
+PORT_ENV = "_HOISDF_MULTIHOST_PORT"
 N_PROC = 2
 LOCAL_DEVICES = 4
-PORT = 29531
+
+
+def _free_port() -> int:
+    """Bind-then-release an ephemeral port (avoids TIME_WAIT collisions from
+    a previous run's fixed coordinator port)."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
 
 
 def child(pid: int) -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    port = os.environ[PORT_ENV]
     jax.distributed.initialize(
-        f"localhost:{PORT}", num_processes=N_PROC, process_id=pid
+        f"localhost:{port}", num_processes=N_PROC, process_id=pid
     )
     from hoisdf_tpu.utils.compile_cache import enable as _cc
 
@@ -101,6 +112,15 @@ def child(pid: int) -> None:
         cfg, model, jax.random.PRNGKey(0),
         {k: jnp.asarray(v) for k, v in init_in.items()}, 10,
     )
+    def barrier(name: str, timeout_ms: int = 900_000) -> None:
+        """Coordination-service rendezvous (gRPC, no Gloo): both hosts must
+        finish COMPILING before either launches the first collective — on a
+        shared-CPU box the two children's compile times can skew past Gloo's
+        30 s key-exchange window otherwise (observed)."""
+        from jax._src import distributed
+
+        distributed.global_state.client.wait_at_barrier(name, timeout_ms)
+
     with mesh:
         state = jax.device_put(state, NamedSharding(mesh, P()))
         step = make_train_step(cfg, model, mano)
@@ -109,10 +129,12 @@ def child(pid: int) -> None:
         inputs = shard_batch(inputs_np, mesh)   # global [16, ...] arrays
         targets = shard_batch(targets_np, mesh)
         assert inputs["img"].shape[0] == cfg.train_batch_size * len(jax.devices())
-        state, losses = step(
-            state, inputs, targets, jax.random.PRNGKey(1),
-            jnp.asarray(0.03), use_presampled=True,
-        )
+        key, dr = jax.random.PRNGKey(1), jnp.asarray(0.03)
+        compiled = step.lower(
+            state, inputs, targets, key, dr, use_presampled=True
+        ).compile()  # AOT: compile locally, no collectives yet
+        barrier("hoisdf_mh_compiled")
+        state, losses = compiled(state, inputs, targets, key, dr)
         jax.block_until_ready(losses)
     total = float(losses["total"])
     assert np.isfinite(total), total
@@ -126,6 +148,7 @@ def parent() -> None:
         if "xla_force_host_platform_device_count" not in f
     ) + f" --xla_force_host_platform_device_count={LOCAL_DEVICES}"
     env_base["JAX_PLATFORMS"] = "cpu"
+    env_base[PORT_ENV] = str(_free_port())
     procs = []
     for pid in range(N_PROC):
         env = dict(env_base)

@@ -24,9 +24,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# v5e roofline constants (bf16 MXU peak, HBM bandwidth)
-PEAK_FLOPS = {"TPU v5 lite": 197e12, "cpu": None}
-HBM_BW = {"TPU v5 lite": 819e9}
+# HBM bandwidth by device kind (substring-matched like bench._peak_flops,
+# so a libtpu device_kind rename degrades to None instead of wrong numbers)
+_HBM_BW = {"v4": 1228e9, "v5 lite": 819e9, "v5e": 819e9, "v5p": 2765e9,
+           "v6e": 1640e9, "v6 lite": 1640e9}
+
+
+def _hbm_bw(device_kind: str):
+    kind = device_kind.lower()
+    for key in sorted(_HBM_BW, key=len, reverse=True):
+        if key in kind:
+            return _HBM_BW[key]
+    return None
 
 
 def chain_time(fn, iters):
@@ -101,9 +110,11 @@ def main():
     state = create_train_state(cfg, model, jax.random.PRNGKey(0), inputs, 1000)
     use_pre = bool(args.presampled)
 
+    from bench import _peak_flops  # substring-matched bf16 peak table
+
     device_kind = jax.devices()[0].device_kind
-    peak = PEAK_FLOPS.get(device_kind)
-    bw = HBM_BW.get(device_kind)
+    peak = _peak_flops(device_kind)
+    bw = _hbm_bw(device_kind)
 
     def apply_fn(p, bs, key):
         out, mut = model.apply(

@@ -106,6 +106,23 @@ def test_shard_arg_validation():
         DataLoader(ToyDataset(), 4, shard_id=2, num_shards=2)  # out of range
 
 
+def test_worker_exception_propagates_to_consumer():
+    """A dataset failure inside the producer must raise in the consuming
+    loop, not leave it blocked forever on the prefetch queue."""
+    import pytest
+
+    class FailingDataset(ToyDataset):
+        def __getitem__(self, idx, epoch=0):
+            if idx == 5:
+                raise ValueError("boom at idx 5")
+            return super().__getitem__(idx, epoch=epoch)
+
+    dl = DataLoader(FailingDataset(), batch_size=4, num_workers=2)
+    with pytest.raises(ValueError, match="boom at idx 5"):
+        for _ in dl:
+            pass
+
+
 def test_abandoned_iterator_releases_producer():
     """Breaking out of the batch loop mid-epoch must not strand the
     producer thread on a full prefetch queue (in process mode that would
