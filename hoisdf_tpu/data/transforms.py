@@ -259,6 +259,65 @@ def _adjust_hue(img: Image.Image, hue_factor: float) -> Image.Image:
     return Image.fromarray(hsv, "HSV").convert("RGB")
 
 
+def draw_jitter_params(
+    brightness: float = 0,
+    saturation: float = 0,
+    hue: float = 0,
+    contrast: float = 0,
+    rng: Optional[random.Random] = None,
+) -> list:
+    """Draw the jitter op order + factors (dataset_util.py:144-201 draw
+    semantics).  Split from application so the PIL and native-C++ backends
+    consume the SAME RNG stream in the SAME order — the op list is
+    ``[(name, factor), ...]`` in shuffled application order."""
+    rng = rng or random
+    ops = []
+    if brightness > 0:
+        ops.append(("brightness", rng.uniform(max(0, 1 - brightness), 1 + brightness)))
+    if saturation > 0:
+        ops.append(("saturation", rng.uniform(max(0, 1 - saturation), 1 + saturation)))
+    if hue > 0:
+        ops.append(("hue", rng.uniform(-hue, hue)))
+    if contrast > 0:
+        ops.append(("contrast", rng.uniform(max(0, 1 - contrast), 1 + contrast)))
+    rng.shuffle(ops)
+    return ops
+
+
+_PIL_JITTER = {
+    "brightness": lambda im, f: ImageEnhance.Brightness(im).enhance(f),
+    "saturation": lambda im, f: ImageEnhance.Color(im).enhance(f),
+    "hue": _adjust_hue,
+    "contrast": lambda im, f: ImageEnhance.Contrast(im).enhance(f),
+}
+
+
+def apply_jitter_pil(img: Image.Image, ops: list) -> Image.Image:
+    out = img.copy()
+    for name, factor in ops:
+        out = _PIL_JITTER[name](out, factor)
+    return out
+
+
+def jitter_ops_native(ops: list) -> list:
+    """Map drawn jitter ops to the native pipeline's (opcode, factor)
+    pairs (hue becomes the integer H-channel delta, as in _adjust_hue)."""
+    from .. import native as _native
+
+    codes = {
+        "brightness": _native.OP_BRIGHTNESS,
+        "saturation": _native.OP_SATURATION,
+        "contrast": _native.OP_CONTRAST,
+    }
+    out = []
+    for name, factor in ops:
+        if name == "hue":
+            out.append((_native.OP_HUE, int(factor * 255)))
+        else:
+            out.append((codes[name], factor))
+    return out
+
+
 def color_jitter(
     img: Image.Image,
     brightness: float = 0,
@@ -271,22 +330,5 @@ def color_jitter(
     (dataset_util.py:144-201).  Distribution-matched, not bitwise (the
     reference's RNG-order sensitivity is explicitly out of parity scope,
     SURVEY.md §7e)."""
-    rng = rng or random
-    ops = []
-    if brightness > 0:
-        f = rng.uniform(max(0, 1 - brightness), 1 + brightness)
-        ops.append(lambda im: ImageEnhance.Brightness(im).enhance(f))
-    if saturation > 0:
-        f_s = rng.uniform(max(0, 1 - saturation), 1 + saturation)
-        ops.append(lambda im: ImageEnhance.Color(im).enhance(f_s))
-    if hue > 0:
-        f_h = rng.uniform(-hue, hue)
-        ops.append(lambda im: _adjust_hue(im, f_h))
-    if contrast > 0:
-        f_c = rng.uniform(max(0, 1 - contrast), 1 + contrast)
-        ops.append(lambda im: ImageEnhance.Contrast(im).enhance(f_c))
-    rng.shuffle(ops)
-    out = img.copy()
-    for op in ops:
-        out = op(out)
-    return out
+    ops = draw_jitter_params(brightness, saturation, hue, contrast, rng=rng)
+    return apply_jitter_pil(img, ops)
