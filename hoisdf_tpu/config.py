@@ -235,6 +235,15 @@ class Config:
     # forks once, eagerly, in DataLoader.__init__ — construct the loader
     # before jit compiles / TPU dispatches (train_loop's order does).
     data_worker_mode: str = "thread"
+    # Host image backend: "auto" uses the native C++ fused pipeline
+    # (hoisdf_tpu/native: decode+warp+blur+jitter+normalize in one GIL-free
+    # call; geometric/eval results bit-identical to PIL, train photometrics
+    # within a few LSB — tests/test_native_pipeline.py) when the library
+    # builds, else PIL.  "on" requires it, "off" forces the PIL path (the
+    # parity-golden source of truth).  With the native path the per-sample
+    # GIL-held fraction drops enough that data_worker_mode="thread" scales
+    # with cores (docs/PERFORMANCE.md input-pipeline table).
+    native_pipeline: str = "auto"
     seed: int = 0
 
     @property

@@ -20,9 +20,10 @@ import os
 from typing import Dict, Optional, Tuple
 
 import numpy as np
-from PIL import Image, ImageFilter
+from PIL import Image
 
 from hoisdf_tpu.config import Config
+from hoisdf_tpu.data import image_io as IIO
 from hoisdf_tpu.data import transforms as T
 from hoisdf_tpu.mano.model import ManoModel
 
@@ -67,6 +68,8 @@ class DexYCBDataset:
         self.inp_res = cfg.input_img_shape[0]
         self.heatmap_res = cfg.output_hm_shape[1]
         self.seed = seed
+        # native C++ fused image path vs pure PIL (config.native_pipeline)
+        self.native = IIO.resolve_native(cfg.native_pipeline)
 
         # augmentation hyperparams (data/dexycb.py:31-39)
         self.max_rot = np.pi
@@ -179,15 +182,15 @@ class DexYCBDataset:
         rng = self._rng(idx, epoch)
         do_flip = info["mano_side"] == "left"
 
-        img = Image.open(
-            os.path.join(self.image_fast_path, info["color_file"])
-        ).convert("RGB")
+        img = IIO.open_image(
+            os.path.join(self.image_fast_path, info["color_file"]), self.native
+        )
         K = np.zeros((3, 3))
         K[0, 0], K[1, 1] = info["intrinsics"]["fx"], info["intrinsics"]["fy"]
         K[0, 2], K[1, 2] = info["intrinsics"]["ppx"], info["intrinsics"]["ppy"]
         K[2, 2] = 1
         if do_flip:
-            img = Image.fromarray(np.asarray(img, np.uint8)[:, ::-1, :])
+            img = IIO.flip_image(img)
 
         # MANO PCA -> axis-angle (+flip mirroring), data/dexycb.py:433-473
         pose_pca = np.asarray(info["pose_m"], np.float32).reshape(-1)
@@ -216,10 +219,14 @@ class DexYCBDataset:
         obj_seg = (
             label["seg"] == info["ycb_ids"][info["ycb_grasp_ind"]]
         ).astype(np.uint8)
-        if do_flip:
-            hand_seg, obj_seg = hand_seg[:, ::-1], obj_seg[:, ::-1]
-        hand_seg = Image.fromarray(hand_seg)
-        obj_seg = Image.fromarray(obj_seg)
+        if self.native:
+            hand_seg = IIO.SegMask(hand_seg, flip=do_flip)
+            obj_seg = IIO.SegMask(obj_seg, flip=do_flip)
+        else:
+            if do_flip:
+                hand_seg, obj_seg = hand_seg[:, ::-1], obj_seg[:, ::-1]
+            hand_seg = Image.fromarray(hand_seg)
+            obj_seg = Image.fromarray(obj_seg)
 
         # object pose + projected bbox corners (data/dexycb.py:487-513)
         grasp_pose = np.asarray(
@@ -351,12 +358,15 @@ class DexYCBDataset:
         joints_uv = joints_uv / self.inp_res * self.heatmap_res
         bbox_obj = T.get_bbox_joints(p2d, bbox_factor=1.0)
 
-        img = T.transform_img(img, affinetrans, [self.inp_res, self.inp_res])
-        img = img.crop((0, 0, self.inp_res, self.inp_res))
-        img = img.filter(ImageFilter.GaussianBlur(rng.random() * self.blur_radius))
-        img = T.color_jitter(
-            img, brightness=self.brightness, saturation=self.saturation,
-            hue=self.hue, contrast=self.contrast,
+        # RNG draw order (blur radius then jitter factors) is shared by the
+        # native and PIL backends so every target stays backend-invariant
+        blur_r = rng.random() * self.blur_radius
+        jitter_ops = T.draw_jitter_params(
+            self.brightness, self.saturation, self.hue, self.contrast
+        )
+        img = IIO.finalize_image(
+            img, affinetrans, self.inp_res, blur_radius=blur_r,
+            jitter_ops=jitter_ops,
         )
         hand_seg, obj_seg = (
             self._warp_seg(s, affinetrans) for s in (hand_seg, obj_seg)
@@ -376,8 +386,7 @@ class DexYCBDataset:
         )
         bbox_hand = T.transform_coords(bbox_hand.reshape(2, 2), affinetrans).flatten()
         bbox_obj = T.transform_coords(bbox_obj.reshape(2, 2), affinetrans).flatten()
-        img = T.transform_img(img, affinetrans, [self.inp_res, self.inp_res])
-        img = img.crop((0, 0, self.inp_res, self.inp_res))
+        img = IIO.finalize_image(img, affinetrans, self.inp_res)
         joints_uv = T.transform_coords(joints_uv, affinetrans)
         joints_uv = joints_uv / self.inp_res * self.heatmap_res
         K = post_rot_trans @ K
@@ -387,12 +396,8 @@ class DexYCBDataset:
         )
         return img, bbox_hand, bbox_obj, K, joints_uv, p2d, hand_seg, obj_seg
 
-    def _warp_seg(self, seg: Image.Image, affinetrans) -> np.ndarray:
-        seg = T.transform_img(seg, affinetrans, [self.inp_res, self.inp_res])
-        seg = seg.crop((0, 0, self.inp_res, self.inp_res))
-        return np.asarray(
-            seg.resize((self.heatmap_res, self.heatmap_res), Image.NEAREST)
-        )
+    def _warp_seg(self, seg, affinetrans) -> np.ndarray:
+        return IIO.warp_seg(seg, affinetrans, self.inp_res, self.heatmap_res)
 
     def _assemble(self, cfg, img, mano_param, K, hand_seg, obj_seg, joints_uv,
                   joints_3d, sdf_points, bbox_hand, bbox_obj, obj_rot, obj_trans,
@@ -415,7 +420,7 @@ class DexYCBDataset:
         obj_pts *= cfg.obj_sdf_scale
 
         out = {
-            "img": (np.asarray(img, np.float32) / 255.0),
+            "img": IIO.to_float_image(img),
             "cam_intr": K.astype(np.float32),
             "mano_root": hand_root.astype(np.float32),
             "obj_center_cam": obj_center_cam,

@@ -37,6 +37,7 @@ import numpy as np
 from PIL import Image
 
 from hoisdf_tpu.config import Config
+from hoisdf_tpu.data import image_io as IIO
 from hoisdf_tpu.data import transforms as T
 from hoisdf_tpu.mano.model import ManoModel
 
@@ -115,6 +116,8 @@ class HO3DDataset:
         self.inp_res = cfg.input_img_shape[0]
         self.heatmap_res = cfg.output_hm_shape[1]
         self.seed = seed
+        # native C++ fused image path vs pure PIL (config.native_pipeline)
+        self.native = IIO.resolve_native(cfg.native_pipeline)
         self.hands_mean = mano_right.hands_mean
 
         self.max_rot = np.pi
@@ -204,9 +207,25 @@ class HO3DDataset:
         return np.random.default_rng((self.seed, epoch, idx))
 
     def _load_seg(self, path: str, thresh: int = 200):
-        """Composite seg image -> (hand, obj) PIL masks: hand in channel 0,
+        """Composite seg image -> (hand, obj) masks: hand in channel 0,
         object in channel 2, resized to the 640x480 annotation canvas and
-        thresholded at 200 (data/ho3d.py:141-165, 230-232)."""
+        thresholded at 200 (data/ho3d.py:141-165, 230-232).  Native path
+        decodes + NEAREST-resizes through the C core (bit-identical) and
+        returns SegMask carriers; fallback returns PIL masks."""
+        if self.native:
+            import hoisdf_tpu.native as N
+
+            kind = "jpeg" if path.lower().endswith((".jpg", ".jpeg")) else "png"
+            with open(path, "rb") as f:
+                data = f.read()
+            arr = N.decode_image(data, kind)
+            if arr is not None:
+                if arr.shape[:2] != (480, 640):
+                    arr = N.resize_nearest(arr, (480, 640))
+                return (
+                    IIO.SegMask((arr[..., 0] > thresh).astype(np.uint8)),
+                    IIO.SegMask((arr[..., 2] > thresh).astype(np.uint8)),
+                )
         seg = Image.open(path)
         if seg.size != (640, 480):
             seg = seg.resize((640, 480), Image.NEAREST)
@@ -256,7 +275,7 @@ class HO3DDataset:
         cfg = self.cfg
         fname = sample["key"][len("render:"):]
         rdir = os.path.join(self.fast_data_dir, "render")
-        img = Image.open(os.path.join(rdir, "rgb", f"{fname}.png")).convert("RGB")
+        img = IIO.open_image(os.path.join(rdir, "rgb", f"{fname}.png"), self.native)
         with open(os.path.join(rdir, "anno", f"{fname}.json")) as f:
             anno = json.load(f)
         K = np.asarray(anno["camMat"], np.float64).reshape(3, 3)
@@ -309,9 +328,10 @@ class HO3DDataset:
         if sample["key"].startswith("render:"):
             return self._getitem_render(sample, rng)
         seq, frame = sample["key"].split("/")
-        img = Image.open(
-            os.path.join(self.root, "train", seq, "rgb", f"{frame}.png")
-        ).convert("RGB")
+        img = IIO.open_image(
+            os.path.join(self.root, "train", seq, "rgb", f"{frame}.png"),
+            self.native,
+        )
         K = sample["K"].copy()
         joints_3d = sample["joints_3d"].copy()
         mano_param = sample["mano_param"].copy()
@@ -357,9 +377,10 @@ class HO3DDataset:
         at main/test.py:131-137)."""
         cfg = self.cfg
         seq, frame = self.set_list[idx].split("/")
-        img = Image.open(
-            os.path.join(self.root, "evaluation", seq, "rgb", f"{frame}.png")
-        ).convert("RGB")
+        img = IIO.open_image(
+            os.path.join(self.root, "evaluation", seq, "rgb", f"{frame}.png"),
+            self.native,
+        )
         meta = load_meta_pkl(
             os.path.join(self.root, "evaluation", seq, "meta", f"{frame}.pkl")
         )
@@ -389,7 +410,7 @@ class HO3DDataset:
             bbox_obj, cfg.obj_depth_mean_value, K2
         ).astype(np.float32)
         return {
-            "img": np.asarray(img, np.float32) / 255.0,
+            "img": IIO.to_float_image(img),
             "cam_intr": K2.astype(np.float32),
             "mano_root": root_joint.astype(np.float32),
             "obj_center_cam": obj_center_cam,
@@ -424,8 +445,7 @@ class HO3DDataset:
             bbox_hand.reshape(2, 2), affinetrans
         ).flatten()
         bbox_obj = T.transform_coords(bbox_obj.reshape(2, 2), affinetrans).flatten()
-        img = T.transform_img(img, affinetrans, [self.inp_res, self.inp_res])
-        img = img.crop((0, 0, self.inp_res, self.inp_res))
+        img = IIO.finalize_image(img, affinetrans, self.inp_res)
         return img, bbox_hand.astype(np.float32), bbox_obj.astype(np.float32), (
             affinetrans.astype(np.float64) @ K
         )

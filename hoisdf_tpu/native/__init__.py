@@ -97,6 +97,18 @@ def _inv6(affine3x3: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(inv[:2].reshape(6))
 
 
+def image_dims(data: bytes, kind: str) -> "Optional[Tuple[int, int]]":
+    """(H, W) from the encoded header only; None if unparseable."""
+    lib = _load()
+    if lib is None:
+        return None
+    h, w = ctypes.c_int(), ctypes.c_int()
+    fn = lib.hn_jpeg_dims if kind == "jpeg" else lib.hn_png_dims
+    if fn(data, len(data), h, w) != 0:
+        return None
+    return h.value, w.value
+
+
 def decode_image(data: bytes, kind: str) -> Optional[np.ndarray]:
     """Decode jpeg/png bytes to RGB u8 [H, W, 3]; None on failure."""
     lib = _load()
@@ -136,13 +148,15 @@ def warp_affine_nearest(
     return out
 
 
-def resize_nearest(img: np.ndarray, res: int) -> np.ndarray:
+def resize_nearest(img: np.ndarray, res: "int | Tuple[int, int]") -> np.ndarray:
+    """PIL resize(NEAREST)-exact; ``res`` is an edge or an (h, w) pair."""
     lib = _load()
     assert lib is not None
     img = np.ascontiguousarray(img, np.uint8)
+    oh, ow = (res, res) if isinstance(res, int) else res
     c = 1 if img.ndim == 2 else img.shape[2]
-    out = np.empty((res, res) if img.ndim == 2 else (res, res, c), np.uint8)
-    lib.hn_resize_nearest(img, img.shape[0], img.shape[1], c, out, res, res)
+    out = np.empty((oh, ow) if img.ndim == 2 else (oh, ow, c), np.uint8)
+    lib.hn_resize_nearest(img, img.shape[0], img.shape[1], c, out, oh, ow)
     return out
 
 

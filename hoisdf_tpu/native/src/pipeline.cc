@@ -471,6 +471,28 @@ static void hn_box_pass_u8(const uint8_t* src, uint8_t* dst, int h, int w,
     const int m = static_cast<int>(radius);
     const double f = radius - m;
     const double norm = 1.0 / (2.0 * radius + 1.0);
+    if (m == 0 && w * c >= 3) {
+        // production fast path (gaussian sigma < ~1.2 => 3-tap kernel):
+        // flat border-split loop, same double rounding as the general path
+        // (bit-identical), auto-vectorizable — PIL-speed without clamps.
+        const int n = w * c;
+        for (int y = 0; y < h; ++y) {
+            const uint8_t* s = src + static_cast<size_t>(y) * n;
+            uint8_t* d = dst + static_cast<size_t>(y) * n;
+            // borders (edge-replicated) per channel
+            for (int k = 0; k < c; ++k) {
+                d[k] = static_cast<uint8_t>(
+                    (f * (s[k] + s[c + k]) + s[k]) * norm + 0.5);
+                const int e = n - c + k;
+                d[e] = static_cast<uint8_t>(
+                    (f * (s[e - c] + s[e]) + s[e]) * norm + 0.5);
+            }
+            for (int i = c; i < n - c; ++i)
+                d[i] = static_cast<uint8_t>(
+                    (f * (s[i - c] + s[i + c]) + s[i]) * norm + 0.5);
+        }
+        return;
+    }
     for (int y = 0; y < h; ++y) {
         const uint8_t* srow = src + static_cast<size_t>(y) * w * c;
         uint8_t* drow = dst + static_cast<size_t>(y) * w * c;

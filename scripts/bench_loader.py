@@ -125,6 +125,8 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=22)
     p.add_argument("--workers", type=int, default=8)
     p.add_argument("--mode", nargs="+", default=["thread", "process"])
+    p.add_argument("--native", default="auto", choices=["auto", "on", "off"],
+                   help="image backend (config.native_pipeline)")
     p.add_argument("--fixture", default="/tmp/hoisdf_loader_fixture")
     args = p.parse_args()
 
@@ -137,6 +139,7 @@ def main() -> None:
     cfg = get_config(
         "dexycb", annotation_dir=ann, image_fast_path=img, fast_data_dir=sdf,
         data_dir=root, small_dexycb=False, points_filter_dist=1.0,
+        native_pipeline=args.native,
     )
     ds = DexYCBDataset(cfg, "train", make_synthetic_mano(0))
     assert len(ds) == args.samples
@@ -161,7 +164,10 @@ def main() -> None:
     total_t = st.total_tt
     c_time = sum(
         tt for (filename, _, name), (_, _, tt, _, _) in st.stats.items()
-        if filename == "~"  # built-in / C-extension frames
+        # built-in / C-extension frames, plus the native-pipeline ctypes
+        # wrappers: cProfile books the foreign call's time (GIL released
+        # by ctypes) into the Python wrapper frame's tottime
+        if filename == "~" or filename.endswith("native/__init__.py")
     )
     gil_release_frac = min(1.0, c_time / total_t) if total_t else 0.0
 
@@ -170,6 +176,7 @@ def main() -> None:
         "value": round(per_sample_ms, 2),
         "unit": "ms/sample/core",
         "c_extension_fraction": round(gil_release_frac, 3),
+        "backend": args.native,
     })
 
     # --- end-to-end loader throughput per mode ----------------------------

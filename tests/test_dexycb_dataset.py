@@ -348,3 +348,31 @@ def test_train_loop_real_path_end_to_end(fixture_dirs, tmp_path, monkeypatch):
     assert os.path.exists(os.path.join(run_dir, "tensorboard", "metrics.jsonl"))
     snaps = os.listdir(os.path.join(run_dir, "model_dump"))
     assert snaps
+
+
+def test_native_vs_pil_backend_ab(fixture_dirs):
+    """Backend invariance (config.native_pipeline): eval samples bit-identical;
+    train samples identical on every target, image within the blur's few-LSB
+    compounding. Covers the left-flip sample (idx 2) on both modes."""
+    import random as _random
+
+    import hoisdf_tpu.native as N
+
+    if not N.available():
+        pytest.skip("native pipeline unavailable")
+    cfg_n = _make_cfg(fixture_dirs, native_pipeline="on")
+    cfg_p = _make_cfg(fixture_dirs, native_pipeline="off")
+    for mode in ("test", "train"):
+        ds_n = DexYCBDataset(cfg_n, mode, make_synthetic_mano(0))
+        ds_p = DexYCBDataset(cfg_p, mode, make_synthetic_mano(0))
+        for idx in (0, 2):  # right + left(flip) samples
+            _random.seed(1234)  # jitter factors come from the global stream
+            a = ds_n.__getitem__(idx, epoch=1)
+            _random.seed(1234)
+            b = ds_p.__getitem__(idx, epoch=1)
+            assert set(a) == set(b)
+            for k in a:
+                if k == "img" and mode == "train":
+                    assert np.abs(a[k] - b[k]).max() * 255.0 <= 5.0, k
+                else:
+                    np.testing.assert_array_equal(a[k], b[k], err_msg=f"{mode}/{k}")
