@@ -49,17 +49,35 @@ def ensure_built(verbose: bool = False) -> "str | None":
                         _cached = _SO
                         return _SO
             os.makedirs(_BUILD_DIR, exist_ok=True)
-            cmd = [_CXX, *_FLAGS, _SRC, "-o", _SO, *_LIBS]
-            res = subprocess.run(
-                cmd, capture_output=True, text=True, timeout=300
-            )
-            if res.returncode != 0:
-                if verbose:
-                    print(f"[hoisdf native] build failed:\n{res.stderr}")
-                _cached = None
-                return None
-            with open(_STAMP, "w") as f:
-                f.write(_stamp())
+            # cross-PROCESS safety (multi-host dryrun, process-mode loader
+            # workers): serialize on an flock, re-check staleness inside,
+            # and publish via atomic rename so no reader ever dlopens a
+            # half-written .so.
+            import fcntl
+
+            with open(os.path.join(_BUILD_DIR, ".lock"), "w") as lockf:
+                fcntl.flock(lockf, fcntl.LOCK_EX)
+                try:
+                    if os.path.exists(_SO) and os.path.exists(_STAMP):
+                        with open(_STAMP) as f:
+                            if f.read() == _stamp():
+                                _cached = _SO
+                                return _SO
+                    tmp = _SO + f".tmp.{os.getpid()}"
+                    cmd = [_CXX, *_FLAGS, _SRC, "-o", tmp, *_LIBS]
+                    res = subprocess.run(
+                        cmd, capture_output=True, text=True, timeout=300
+                    )
+                    if res.returncode != 0:
+                        if verbose:
+                            print(f"[hoisdf native] build failed:\n{res.stderr}")
+                        _cached = None
+                        return None
+                    os.replace(tmp, _SO)
+                    with open(_STAMP, "w") as f:
+                        f.write(_stamp())
+                finally:
+                    fcntl.flock(lockf, fcntl.LOCK_UN)
             _cached = _SO
             return _SO
         except (OSError, subprocess.SubprocessError) as e:  # no toolchain etc.
