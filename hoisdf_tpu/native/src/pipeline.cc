@@ -198,7 +198,13 @@ int hn_png_decode_rgb(const uint8_t* buf, size_t n, uint8_t* out, int cap_h,
 //   inner loop xx += FIX(a);  source index = xx >> 16  (floor), OOB -> 0.
 // (Reconstructed empirically: pure-double floor(a*(x+.5)+...) disagrees
 // with PIL on ~0.2% of pixels because the per-step increment rounding
-// accumulates; this fixed-point path reproduces PIL 100%.) When any
+// accumulates; this fixed-point path reproduces PIL 100% on axis-aligned
+// and mildly-skewed affines. For LARGE in-plane rotations (train-aug
+// spins) a residual ~1e-5 fraction of boundary-tie pixels still picks the
+// neighbouring texel — probed: PIL's increments are FIX(double), X0
+// rounds at double boundaries, yet no tested evaluation-order variant
+// zeroes the strays; accepted as train-aug distribution noise and bounded
+// by tests. The rot=0 eval path below is bit-exact.) When any
 // intermediate would overflow 32-bit fixed point we fall back to the
 // double evaluation, as Pillow itself does for huge coefficients.
 // `flip` mirrors the source x axis (sampling index sw-1-xi), exactly

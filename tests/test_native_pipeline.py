@@ -247,3 +247,22 @@ def test_color_jitter_pil_path_unchanged(rgb):
     ops = T.draw_jitter_params(0.3, 0.3, 0.15, 0.3, rng=r2)
     out2 = T.apply_jitter_pil(img, ops)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def test_warp_large_rotation_stray_fraction(rng, rgb):
+    """Train-aug spins (uniform +-pi) hit boundary-tie pixels where the
+    reconstructed fixed-point evaluation and PIL pick neighbouring texels;
+    the stray fraction is bounded ~1e-5 (pipeline.cc warp docstring)."""
+    im = Image.fromarray(rgb)
+    total = bad = 0
+    for _ in range(8):
+        rot = rng.uniform(-np.pi, np.pi)
+        c, s = np.cos(rot), np.sin(rot)
+        aff = np.eye(3)
+        aff[:2, :2] = np.array([[c, -s], [s, c]]) * rng.uniform(0.4, 1.2)
+        aff[:2, 2] = rng.uniform(-30, 60, 2)
+        pil = np.asarray(T.transform_img(im, aff, [96, 96]))
+        mine = N.warp_affine_nearest(rgb, aff, 96)
+        bad += int(((pil != mine).any(-1)).sum())
+        total += 96 * 96
+    assert bad / total <= 5e-4, bad
