@@ -68,26 +68,39 @@ def sdf_mlp_fused(
     tile: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
-    """Fused eval-mode SDF decode: [N, 289] -> [N, 1] tanh(sdf)."""
-    n = x.shape[0]
-    pad = (-n) % tile
-    if pad:
-        x = jnp.concatenate([x, jnp.zeros((pad, x.shape[1]), x.dtype)], axis=0)
-    n_pad = x.shape[0]
+    """Fused eval-mode SDF decode: [N, in_dim] -> [N, 1] tanh(sdf).
+
+    All dims come from the operands (the production decoder is
+    289/512/223-skip, a reduced config e.g. 97/hidden — the kernel body is
+    layout-agnostic; hardcoding IN_DIM here once broke every small-config
+    run on TPU backends, where the fused path is on while CPU tests take
+    the plain-XLA fallback)."""
+    n, in_dim = x.shape
 
     w0, b0, w1, b1, w2, b2, w3, b3, w4, b4 = [w.astype(x.dtype) for w in weights]
+    if w0.shape[0] != in_dim:
+        raise ValueError(
+            f"sdf_mlp_fused: input dim {in_dim} != w0 rows {w0.shape[0]}"
+        )
+    pad = (-n) % tile
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad, in_dim), x.dtype)], axis=0)
+    n_pad = x.shape[0]
+
     # biases as [1, out] rows for clean VMEM broadcast
     b0, b1, b2, b3, b4 = (b.reshape(1, -1) for b in (b0, b1, b2, b3, b4))
 
     grid = (n_pad // tile,)
     full = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                                   memory_space=pltpu.VMEM)
+    mm_flops = sum(w.shape[0] * w.shape[1] for w in (w0, w1, w2, w3, w4))
+    w_bytes = sum(w.size * x.dtype.itemsize for w in (w0, w1, w2, w3, w4))
     out = pl.pallas_call(
         _kernel,
         out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile, IN_DIM), lambda i: (i, 0),
+            pl.BlockSpec((tile, in_dim), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             full(w0), full(b0), full(w1), full(b1), full(w2), full(b2),
             full(w3), full(b3), full(w4), full(b4),
@@ -96,8 +109,8 @@ def sdf_mlp_fused(
                                memory_space=pltpu.VMEM),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_pad * (IN_DIM * H + H * SKIP_OUT + H * H * 2 + H),
-            bytes_accessed=n_pad * IN_DIM * x.dtype.itemsize + 4 * H * H,
+            flops=2 * n_pad * mm_flops,
+            bytes_accessed=n_pad * in_dim * x.dtype.itemsize + w_bytes,
             transcendentals=n_pad,
         ),
     )(x, w0, b0, w1, b1, w2, b2, w3, b3, w4, b4)
