@@ -57,6 +57,17 @@ def main():
         help="print the dense-scan-oracle quality table for the hier_levels "
              "candidates (the config.hier_levels promotion gate)",
     )
+    parser.add_argument(
+        "--serve", action="store_true",
+        help="benchmark the BatchingServer serving path: closed-loop client "
+             "threads -> dynamic micro-batching -> pipelined eval steps "
+             "(tiny config under --cpu)",
+    )
+    parser.add_argument("--serve-seconds", type=float, default=20.0)
+    parser.add_argument(
+        "--serve-clients", type=int, default=None,
+        help="concurrent closed-loop clients (default 3x batch)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -113,6 +124,78 @@ def main():
                 "rank_corr": [round(float(x), 4) for x in rep["rank_corr"]],
                 "gate_pass": gate(rep),
             }))
+        return
+
+    if args.serve:
+        # Serving-path benchmark: N closed-loop clients each submit one
+        # frame at a time to a BatchingServer; the server coalesces them
+        # into full device batches and keeps pipeline_depth steps in
+        # flight.  The ceiling is bench.py's pipelined eval number; the
+        # gap is batching + scatter overhead.
+        import threading
+
+        from hoisdf_tpu.config import get_config
+        from hoisdf_tpu.data.synthetic import (
+            split_inputs_targets,
+            synthetic_batch,
+        )
+        from hoisdf_tpu.predictor import BatchingServer, Predictor
+
+        if args.cpu:
+            cfg = get_config(
+                "dexycb", resnet_type=18, hidden_dim=64, dim_feedforward=128,
+                enc_layers=2, dec_layers=2, num_samp_hand=32, num_samp_obj=16,
+                input_img_shape=(64, 64), output_hm_shape=(32, 32, 32),
+                bins_n=16, sdf_infer_chunk=2048, compute_dtype="float32",
+                sdf_infer_mode="hier",
+                hier_levels=((4, 16), (2, 32)), hier_levels_obj=None,
+            )
+            batch = 4
+        else:
+            cfg, batch = None, 22  # Predictor's production default config
+        pred = Predictor(cfg, batch_size=batch)
+        pred.warmup()
+        pool_np, _ = split_inputs_targets(synthetic_batch(
+            pred.cfg, batch, seed=5, train=False
+        ))
+        frames = [
+            {k: v[i] for k, v in pool_np.items()} for i in range(batch)
+        ]
+        n_clients = args.serve_clients or 3 * batch
+        latencies, lat_lock = [], threading.Lock()
+        stop_at = time.perf_counter() + args.serve_seconds
+
+        def client(i: int):
+            j = i % batch
+            while time.perf_counter() < stop_at:
+                t0 = time.perf_counter()
+                srv.submit(frames[j]).result(timeout=300)
+                with lat_lock:
+                    latencies.append(time.perf_counter() - t0)
+
+        with BatchingServer(pred, max_wait_ms=5.0) as srv:
+            threads = [
+                threading.Thread(target=client, args=(i,))
+                for i in range(n_clients)
+            ]
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            elapsed = time.perf_counter() - t0
+            served, batches_n = srv.frames_served, srv.batches_dispatched
+        lat = np.sort(np.asarray(latencies)) * 1e3
+        print(json.dumps({
+            "metric": "serving_throughput",
+            "value": round(served / elapsed, 1),
+            "unit": "frames/sec",
+            "clients": n_clients,
+            "batch": batch,
+            "mean_batch_fill": round(served / max(batches_n, 1), 2),
+            "request_p50_ms": round(float(lat[len(lat) // 2]), 1) if len(lat) else None,
+            "request_p95_ms": round(float(lat[int(len(lat) * 0.95)]), 1) if len(lat) else None,
+        }))
         return
 
     # 1. MANO batch-32 (BASELINE config #1)

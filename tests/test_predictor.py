@@ -1,27 +1,76 @@
-"""Serving Predictor: padding, outputs, latency stats."""
+"""Serving Predictor: padding, outputs, latency stats, dynamic batching."""
+
+import threading
 
 import numpy as np
+import pytest
 
 from hoisdf_tpu.config import get_config
 from hoisdf_tpu.data.synthetic import split_inputs_targets, synthetic_batch
-from hoisdf_tpu.predictor import Predictor
+from hoisdf_tpu.predictor import BatchingServer, Predictor
 
 
-def test_predictor_pads_and_trims():
-    cfg = get_config(
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return get_config(
         "dexycb", resnet_type=18, hidden_dim=64, dim_feedforward=128,
         enc_layers=2, dec_layers=2, num_samp_hand=32, num_samp_obj=16,
         input_img_shape=(64, 64), output_hm_shape=(32, 32, 32), bins_n=16,
         sdf_infer_chunk=2048, compute_dtype="float32",
         sdf_infer_mode="coarse2fine", coarse_bins=4, coarse_keep_cells=16,
     )
-    pred = Predictor(cfg, batch_size=4)
-    pred.warmup()
-    frames_np = synthetic_batch(cfg, 3, train=False)
+
+
+@pytest.fixture(scope="module")
+def pred(tiny_cfg):
+    p = Predictor(tiny_cfg, batch_size=4)
+    p.warmup()
+    return p
+
+
+def test_predictor_pads_and_trims(tiny_cfg, pred):
+    frames_np = synthetic_batch(tiny_cfg, 3, train=False)
     frames, _ = split_inputs_targets(frames_np)
     out = pred.predict(frames)
     assert out["mano_joints"].shape == (3, 21, 3)
     assert out["obj_rot"].shape[0] == 3
     assert np.isfinite(out["mano_joints"]).all()
     s = pred.latency_summary()
-    assert s["n"] == 1 and s["p50_ms"] > 0
+    assert s["n"] >= 1 and s["p50_ms"] > 0
+
+
+def test_batching_server_matches_direct_predict(tiny_cfg, pred):
+    frames_np = synthetic_batch(tiny_cfg, 3, seed=7, train=False)
+    frames, _ = split_inputs_targets(frames_np)
+    direct = pred.predict(frames)
+
+    with BatchingServer(pred, max_wait_ms=200.0) as srv:
+        # submit from threads so the dispatcher coalesces all 3 into one step
+        futs = [None] * 3
+
+        def send(i):
+            futs[i] = srv.submit({k: v[i] for k, v in frames.items()})
+
+        threads = [threading.Thread(target=send, args=(i,)) for i in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        outs = [f.result(timeout=120) for f in futs]
+    assert srv.frames_served == 3
+    # coalescing must not change results: scattered rows == direct batch rows
+    for i, out in enumerate(outs):
+        for k in ("mano_joints", "obj_rot", "obj_trans"):
+            np.testing.assert_allclose(out[k], direct[k][i], rtol=0, atol=1e-5)
+
+
+def test_batching_server_single_request_and_close(tiny_cfg, pred):
+    frames_np = synthetic_batch(tiny_cfg, 1, seed=11, train=False)
+    frames, _ = split_inputs_targets(frames_np)
+    srv = BatchingServer(pred, max_wait_ms=1.0)
+    out = srv.submit({k: v[0] for k, v in frames.items()}).result(timeout=120)
+    assert out["mano_joints"].shape == (21, 3)
+    srv.close()
+    srv.close()  # idempotent
+    with pytest.raises(RuntimeError):
+        srv.submit({k: v[0] for k, v in frames.items()})
