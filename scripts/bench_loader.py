@@ -35,10 +35,11 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TRAIN_STEP_FPS = 147.9  # field-branch train step, batch 22 (docs/PERFORMANCE.md)
+EVAL_STEP_FPS = 545.9   # pipelined eval step, batch 22 (docs/PERFORMANCE.md)
 V5E8_HOST_CORES = 224   # ct5lp-hightpu-8t
 
 
-def make_fixture(base: str, n: int, seed: int = 0) -> tuple:
+def make_fixture(base: str, n: int, seed: int = 0, split: str = "train") -> tuple:
     """Synthetic on-disk DexYCB layout at production scale: 640x480 JPEG
     images, label npz seg masks, SDF npy dumps with realistic row counts
     (10k hand / 5k obj rows — the draw indexes into these), one global
@@ -51,13 +52,12 @@ def make_fixture(base: str, n: int, seed: int = 0) -> tuple:
     ann_dir = os.path.join(base, "ann")
     img_dir = os.path.join(base, "img")
     sdf_root = os.path.join(base, "sdf")
-    stamp = os.path.join(base, f"ok_{n}_{seed}")
+    stamp = os.path.join(base, f"ok_{n}_{seed}_{split}")
     if os.path.exists(stamp):
         return ann_dir, img_dir, sdf_root, root
     for d in (os.path.join(root, "labels"), ann_dir, img_dir):
         os.makedirs(d, exist_ok=True)
     rng = np.random.RandomState(seed)
-    split = "train"
     sdf_dir = os.path.join(sdf_root, f"full_{split}", "sdf_processed")
     os.makedirs(sdf_dir, exist_ok=True)
     samples, names, rows = {}, [], {}
@@ -127,6 +127,11 @@ def main() -> None:
     p.add_argument("--mode", nargs="+", default=["thread", "process"])
     p.add_argument("--native", default="auto", choices=["auto", "on", "off"],
                    help="image backend (config.native_pipeline)")
+    p.add_argument("--dataset-mode", default="train", choices=["train", "test"],
+                   help="train = full aug pipeline (vs the 147.9 f/s train "
+                        "step); test = deterministic eval crop, no "
+                        "jitter/blur/SDF-pre draws (vs the 545.9 f/s eval "
+                        "step — eval puts ~3.7x the demand on the host)")
     p.add_argument("--fixture", default="/tmp/hoisdf_loader_fixture")
     args = p.parse_args()
 
@@ -135,14 +140,16 @@ def main() -> None:
     from hoisdf_tpu.data.loader import DataLoader
     from hoisdf_tpu.mano.model import make_synthetic_mano
 
-    ann, img, sdf, root = make_fixture(args.fixture, args.samples)
+    split = "train" if args.dataset_mode == "train" else "test"
+    ann, img, sdf, root = make_fixture(args.fixture, args.samples, split=split)
     cfg = get_config(
         "dexycb", annotation_dir=ann, image_fast_path=img, fast_data_dir=sdf,
         data_dir=root, small_dexycb=False, points_filter_dist=1.0,
         native_pipeline=args.native,
     )
-    ds = DexYCBDataset(cfg, "train", make_synthetic_mano(0))
+    ds = DexYCBDataset(cfg, args.dataset_mode, make_synthetic_mano(0))
     assert len(ds) == args.samples
+    step_fps = TRAIN_STEP_FPS if args.dataset_mode == "train" else EVAL_STEP_FPS
 
     # --- per-sample breakdown (single caller, production shapes) ---------
     ds.__getitem__(0, epoch=0)  # warm imports / caches
@@ -177,6 +184,7 @@ def main() -> None:
         "unit": "ms/sample/core",
         "c_extension_fraction": round(gil_release_frac, 3),
         "backend": args.native,
+        "dataset_mode": args.dataset_mode,
     })
 
     # --- end-to-end loader throughput per mode ----------------------------
@@ -210,17 +218,18 @@ def main() -> None:
             "workers": args.workers,
             "batch": args.batch,
             "host_cores": os.cpu_count(),
+            "dataset_mode": args.dataset_mode,
         })
 
-    # --- extrapolation vs the train step ----------------------------------
+    # --- extrapolation vs the consuming device step -----------------------
     sps_core = 1e3 / per_sample_ms
-    cores_needed = TRAIN_STEP_FPS / sps_core
+    cores_needed = step_fps / sps_core
     emit({
         "metric": "loader_headroom_v5e8_host",
-        "value": round(V5E8_HOST_CORES * sps_core / TRAIN_STEP_FPS, 1),
-        "unit": "x_train_step",
+        "value": round(V5E8_HOST_CORES * sps_core / step_fps, 1),
+        "unit": f"x_{args.dataset_mode}_step",
         "samples_per_sec_per_core": round(sps_core, 1),
-        "cores_to_feed_147.9fps": round(cores_needed, 1),
+        f"cores_to_feed_{step_fps}fps": round(cores_needed, 1),
         "assumes": "linear scaling to ct5lp-hightpu-8t 224 vCPUs; "
                    "c_extension_fraction bounds the thread-mode ceiling",
     })
