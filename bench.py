@@ -223,7 +223,8 @@ def _attempt(cfg, model, mano, variables, batch: int, iters: int, warmup: int):
 
 def _subprocess_attempt(batch: int, passthrough, tries: int = 2, wait: int = 90):
     """Run one attempt in a FRESH process (fresh TPU client): the only way to
-    continue after an in-process kernel fault.  Returns (fps, p50) or None."""
+    continue after an in-process kernel fault.  Returns the RESULT doc
+    (fps/p50/flops_frame) or None."""
     import subprocess
 
     cmd = [
@@ -246,8 +247,7 @@ def _subprocess_attempt(batch: int, passthrough, tries: int = 2, wait: int = 90)
         sys.stderr.write(proc.stderr[-3000:])
         for line in proc.stdout.splitlines():
             if line.startswith("RESULT "):
-                doc = json.loads(line[len("RESULT "):])
-                return doc["fps"], doc["p50"]
+                return json.loads(line[len("RESULT "):])
         _log(f"fresh-process attempt batch={batch}: rc={proc.returncode}, "
              "no RESULT line")
     return None
@@ -294,6 +294,15 @@ def main() -> None:
         "--single-attempt", type=int, default=None, metavar="BATCH",
         help="(internal) run exactly one attempt at BATCH and print "
              "'RESULT {json}'; used by the parent's fresh-process retries",
+    )
+    parser.add_argument(
+        "--batch-sweep", default=None, metavar="B1,B2,...",
+        help="sweep eval batch sizes (each in a fresh process, fault-"
+             "isolated), report f/s + p50 + MFU per batch, and record the "
+             "per-chip throughput-optimal point to docs/eval_batch_sweep.json "
+             "(picked up as 'batch_opt' by subsequent headline runs). "
+             "The batch-22 headline stays the reference-parity metric "
+             "(main/config.py:61); this finds where the chip actually peaks.",
     )
     args = parser.parse_args()
 
@@ -358,19 +367,70 @@ def main() -> None:
             cfg, model, mano, variables, args.single_attempt, args.iters,
             args.warmup,
         )
-        print("RESULT " + json.dumps({"fps": fps, "p50": p50}), flush=True)
+        flops_frame = _flops_per_frame(
+            cfg, model, mano, variables, args.single_attempt
+        )
+        print("RESULT " + json.dumps(
+            {"fps": fps, "p50": p50, "flops_frame": flops_frame}
+        ), flush=True)
         return
 
-    ladder = [args.batch] if (args.cpu or args.no_retry) else sorted(
-        {b for b in (args.batch, 16, 11, 8, 4) if b <= args.batch}, reverse=True
-    )
-    passthrough = [
+    passthrough_base = [
         "--setting", args.setting,
         "--sdf-infer-mode", args.sdf_infer_mode, "--dtype", args.dtype,
         "--iters", str(args.iters), "--warmup", str(args.warmup),
     ] + (["--no-fused"] if args.no_fused else []) + (
         ["--hier-levels", args.hier_levels] if args.hier_levels else []
     ) + [a for item in args.cfg for a in ("--cfg", item)]
+
+    if args.batch_sweep is not None:
+        import jax as _jax
+
+        batches = [int(b) for b in args.batch_sweep.split(",") if b.strip()]
+        peak = _peak_flops(_jax.devices()[0].device_kind) or 0.0
+        rows = []
+        for b in batches:
+            res = _subprocess_attempt(b, passthrough_base, tries=2)
+            if res is None:
+                rows.append({"batch": b, "ok": False})
+                _log(f"sweep batch={b}: FAILED after retries")
+                continue
+            ff = res.get("flops_frame")
+            mfu = (ff * res["fps"] / peak) if (ff and peak) else None
+            rows.append({
+                "batch": b, "ok": True, "fps": round(res["fps"], 1),
+                "p50_ms_per_frame": round(res["p50"], 3),
+                "gflop_per_frame": round(ff / 1e9, 2) if ff else None,
+                "mfu": round(mfu, 4) if mfu else None,
+            })
+            _log(f"sweep batch={b}: {res['fps']:.1f} f/s"
+                 + (f", MFU {mfu * 100:.1f}%" if mfu else ""))
+        ok_rows = [r for r in rows if r.get("ok")]
+        best = max(ok_rows, key=lambda r: r["fps"]) if ok_rows else None
+        doc = {
+            "setting": args.setting, "sampler": cfg.sdf_infer_mode,
+            "device": _jax.devices()[0].device_kind, "mode": "pipelined",
+            "rows": rows,
+            "batch_opt": best["batch"] if best else None,
+            "batch_opt_fps": best["fps"] if best else None,
+        }
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "docs", "eval_batch_sweep.json",
+        )
+        with open(out_path, "w") as f:
+            json.dump(doc, f, indent=1)
+        print(json.dumps({
+            "metric": f"{args.setting}_eval_batch_sweep",
+            "value": best["fps"] if best else 0.0,
+            "unit": "frames/sec/chip", "vs_baseline": 1.0, **doc,
+        }))
+        return
+
+    ladder = [args.batch] if (args.cpu or args.no_retry) else sorted(
+        {b for b in (args.batch, 16, 11, 8, 4) if b <= args.batch}, reverse=True
+    )
+    passthrough = passthrough_base
 
     fps = p50 = None
     used_batch = None
@@ -404,13 +464,13 @@ def main() -> None:
                 time.sleep(60)
                 res = _subprocess_attempt(batch, passthrough)
                 if res is not None:
-                    fps, p50 = res
+                    fps, p50 = res["fps"], res["p50"]
                     used_batch = batch
                     break
         else:
             res = _subprocess_attempt(batch, passthrough)
             if res is not None:
-                fps, p50 = res
+                fps, p50 = res["fps"], res["p50"]
                 used_batch = batch
                 break
 
@@ -447,6 +507,23 @@ def main() -> None:
             + (f", MFU {mfu * 100:.2f}% of {device_kind}" if mfu else "")
         )
 
+    # Per-chip throughput-optimal batch from a recorded --batch-sweep run
+    # (docs/eval_batch_sweep.json), reported alongside the batch-22 parity
+    # headline when the sweep's methodology matches this run.
+    batch_opt = batch_opt_fps = None
+    try:
+        with open(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "docs", "eval_batch_sweep.json",
+        )) as f:
+            sweep = json.load(f)
+        if (not args.cpu and sweep.get("setting") == args.setting
+                and sweep.get("sampler") == cfg.sdf_infer_mode):
+            batch_opt = sweep.get("batch_opt")
+            batch_opt_fps = sweep.get("batch_opt_fps")
+    except (OSError, ValueError):
+        pass
+
     print(
         json.dumps(
             {
@@ -463,6 +540,10 @@ def main() -> None:
                 # reduced-batch number is never mistaken for the standard
                 # batch-22 metric
                 "batch": used_batch,
+                # throughput-optimal operating point from the last recorded
+                # --batch-sweep (None until one has been run on this setting)
+                "batch_opt": batch_opt,
+                "batch_opt_fps": batch_opt_fps,
                 "p50_ms_per_frame": round(p50, 3),
                 "gflop_per_frame": (
                     round(flops_frame / 1e9, 3) if flops_frame else None
