@@ -115,21 +115,33 @@ def eval_batched_obj_direct(
 # ---- F-score / mesh error ------------------------------------------------------
 
 
-def fscore(
+def fscore_pr(
     gt_points: jax.Array, pred_points: jax.Array, threshold: float
-) -> jax.Array:
-    """F-score at a distance threshold (eval_util.py:104-140, open3d-free).
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """F-score + precision/recall at a distance threshold
+    (eval_util.py:117-140, open3d-free).
 
-    gt/pred: [N,3]/[M,3] single-sample point sets.
+    gt/pred: [N,3]/[M,3] single-sample point sets.  Reference naming is kept
+    for parity: ``recall`` counts pred points within ``threshold`` of a gt
+    point (pred->gt, eval_util.py:127), ``precision`` counts matched gt
+    points (gt->pred, :130) — the f-score is symmetric either way.
     """
     d = jnp.linalg.norm(gt_points[:, None, :] - pred_points[None, :, :], axis=-1)
     d1 = d.min(axis=1)  # gt -> pred
     d2 = d.min(axis=0)  # pred -> gt
-    recall = (d1 < threshold).mean()
-    precision = (d2 < threshold).mean()
-    return jnp.where(
+    recall = (d2 < threshold).mean()
+    precision = (d1 < threshold).mean()
+    f = jnp.where(
         recall + precision > 0, 2 * recall * precision / (recall + precision), 0.0
     )
+    return f, precision, recall
+
+
+def fscore(
+    gt_points: jax.Array, pred_points: jax.Array, threshold: float
+) -> jax.Array:
+    """F-score only (see fscore_pr)."""
+    return fscore_pr(gt_points, pred_points, threshold)[0]
 
 
 from functools import partial
