@@ -14,7 +14,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
-from concurrent.futures import Future
+from concurrent.futures import Future, InvalidStateError
 from typing import Dict, List, Optional
 
 import jax
@@ -219,6 +219,10 @@ class BatchingServer:
         self._q: "queue.Queue" = queue.Queue()
         self._inflight: "queue.Queue" = queue.Queue(maxsize=max(1, pipeline_depth))
         self._closed = False
+        # orders every submit() against close()'s sentinel: nothing can be
+        # enqueued after the sentinel, so the dispatcher serves ALL accepted
+        # requests before shutting down
+        self._submit_lock = threading.Lock()
         self.batches_dispatched = 0
         self.frames_served = 0
         self._dispatcher = threading.Thread(target=self._dispatch_loop, daemon=True)
@@ -230,10 +234,11 @@ class BatchingServer:
         """frame: dict of per-frame arrays WITHOUT a leading batch dim
         (``img [H,W,3]``, ``cam_intr [3,3]``, ...).  Returns a Future whose
         result is the per-frame output dict (leading dim stripped)."""
-        if self._closed:
-            raise RuntimeError("BatchingServer is closed")
         fut: "Future" = Future()
-        self._q.put((frame, fut))
+        with self._submit_lock:
+            if self._closed:
+                raise RuntimeError("BatchingServer is closed")
+            self._q.put((frame, fut))
         return fut
 
     def _dispatch_loop(self) -> None:
@@ -260,7 +265,23 @@ class BatchingServer:
             self._dispatch_batch(pending)
         self._inflight.put(None)  # completer: drain and exit
 
+    @staticmethod
+    def _fail(futures, exc) -> None:
+        for fut in futures:
+            try:
+                fut.set_exception(exc)
+            except InvalidStateError:  # racing caller already cancelled it
+                pass
+
     def _dispatch_batch(self, pending: List[tuple]) -> None:
+        # claim each future; callers may have .cancel()ed while queued, and
+        # setting a result on a cancelled Future raises InvalidStateError,
+        # which would kill the worker thread
+        pending = [
+            (f, fut) for f, fut in pending if fut.set_running_or_notify_cancel()
+        ]
+        if not pending:
+            return
         frames = {
             k: np.stack([np.asarray(f[k]) for f, _ in pending])
             for k in INPUT_KEYS if k in pending[0][0]
@@ -268,8 +289,7 @@ class BatchingServer:
         try:
             preds, _n = self.predictor.predict_async(frames)
         except Exception as exc:  # bad inputs / dispatch error: this batch only
-            for _, fut in pending:
-                fut.set_exception(exc)
+            self._fail([fut for _, fut in pending], exc)
             return
         self.batches_dispatched += 1
         # blocks when pipeline_depth steps are already in flight
@@ -284,30 +304,32 @@ class BatchingServer:
             try:
                 out = self.predictor.materialize(preds, len(pending))
             except Exception as exc:  # device-side failure of THIS step
-                for _, fut in pending:
-                    fut.set_exception(exc)
+                self._fail([fut for _, fut in pending], exc)
                 continue
             self.frames_served += len(pending)
             for i, (_, fut) in enumerate(pending):
                 fut.set_result({k: v[i] for k, v in out.items()})
 
     def close(self) -> None:
-        """Drain outstanding requests, then stop both pipeline stages."""
-        if self._closed:
-            return
-        self._closed = True
-        self._q.put(None)
+        """Serve every request accepted before close(), then stop both
+        pipeline stages.  The submit lock orders all accepted requests ahead
+        of the shutdown sentinel, so none can be stranded behind it."""
+        with self._submit_lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._q.put(None)
         self._dispatcher.join()
         self._completer.join()
-        # a submit racing close() can slip in behind the sentinel; fail it
-        # loudly instead of leaving its future pending forever
+        # belt-and-braces: the lock makes post-sentinel items impossible, but
+        # fail loudly rather than hang forever if that invariant ever breaks
         while True:
             try:
                 item = self._q.get_nowait()
             except queue.Empty:
                 break
             if item is not None:
-                item[1].set_exception(RuntimeError("BatchingServer closed"))
+                self._fail([item[1]], RuntimeError("BatchingServer closed"))
 
     def __enter__(self) -> "BatchingServer":
         return self

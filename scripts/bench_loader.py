@@ -229,7 +229,8 @@ def main() -> None:
         "value": round(V5E8_HOST_CORES * sps_core / step_fps, 1),
         "unit": f"x_{args.dataset_mode}_step",
         "samples_per_sec_per_core": round(sps_core, 1),
-        f"cores_to_feed_{step_fps}fps": round(cores_needed, 1),
+        "step_fps": step_fps,
+        "cores_to_feed_step": round(cores_needed, 1),
         "assumes": "linear scaling to ct5lp-hightpu-8t 224 vCPUs; "
                    "c_extension_fraction bounds the thread-mode ceiling",
     })

@@ -64,6 +64,35 @@ def test_batching_server_matches_direct_predict(tiny_cfg, pred):
             np.testing.assert_allclose(out[k], direct[k][i], rtol=0, atol=1e-5)
 
 
+def test_batching_server_cancelled_future_does_not_kill_worker(tiny_cfg, pred):
+    """A caller .cancel()ing a queued Future must not crash the dispatcher
+    (set_result on a cancelled Future raises InvalidStateError)."""
+    frames_np = synthetic_batch(tiny_cfg, 2, seed=13, train=False)
+    frames, _ = split_inputs_targets(frames_np)
+    with BatchingServer(pred, max_wait_ms=300.0) as srv:
+        doomed = srv.submit({k: v[0] for k, v in frames.items()})
+        doomed.cancel()  # races the coalescing window; usually wins
+        # the server must still serve subsequent traffic either way
+        out = srv.submit({k: v[1] for k, v in frames.items()}).result(timeout=120)
+        assert out["mano_joints"].shape == (21, 3)
+        if doomed.cancelled():
+            assert not doomed.running()
+        else:  # dispatcher claimed it before cancel(); it must complete
+            assert doomed.result(timeout=120)["mano_joints"].shape == (21, 3)
+
+
+def test_batching_server_close_serves_accepted_requests(tiny_cfg, pred):
+    """Requests accepted before close() are served, never failed: the submit
+    lock orders them ahead of the shutdown sentinel."""
+    frames_np = synthetic_batch(tiny_cfg, 4, seed=17, train=False)
+    frames, _ = split_inputs_targets(frames_np)
+    srv = BatchingServer(pred, max_wait_ms=50.0)
+    futs = [srv.submit({k: v[i] for k, v in frames.items()}) for i in range(4)]
+    srv.close()  # drains: every accepted future resolves with a result
+    for f in futs:
+        assert f.result(timeout=120)["mano_joints"].shape == (21, 3)
+
+
 def test_batching_server_single_request_and_close(tiny_cfg, pred):
     frames_np = synthetic_batch(tiny_cfg, 1, seed=11, train=False)
     frames, _ = split_inputs_targets(frames_np)
