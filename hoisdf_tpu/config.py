@@ -177,9 +177,9 @@ class Config:
     # both fields into one group and always uses the shared hier_levels.
     # GATING: this default's evidence covers K = num_samp_obj <= 200 only
     # (exactness at 200 implies exactness below it); if num_samp_obj is
-    # raised past 200 while this field is left at the stock value, the
-    # model falls back to the shared hier_levels (models/hoisdf.py::
-    # sdf_infer) — an explicit override is honored at any K.
+    # raised past 200 while this field is at the stock value, construction
+    # normalizes it to None = share hier_levels (see __post_init__) — a
+    # non-stock override is honored at any K (the user owns its gating).
     hier_levels_obj: tuple | None = ((8, 104), (4, 184), (2, 368))
     # Fused Pallas SDF-MLP kernel inside sdf_infer (TPU only; the training
     # path keeps the flax module for grads + dropout).
@@ -252,6 +252,26 @@ class Config:
         if self.use_big_decoder:
             return 128 + 256 + 512 + 1024 + 2048
         return 32 + 64 + 128 + 256 + 512
+
+    def __post_init__(self):
+        # The stock hier_levels_obj is oracle-gated at K=num_samp_obj<=200
+        # only (see its field comment): past the gate, the un-gated stock
+        # keeps must not silently apply, so normalize to None = share the
+        # hand-grade hier_levels.  Done HERE (every construction path,
+        # incl. dataclasses.replace) rather than at trace time in the
+        # model, so cfg.hier_levels_obj always means what the model runs.
+        stock = type(self).__dataclass_fields__["hier_levels_obj"].default
+        if self.hier_levels_obj == stock and self.num_samp_obj > 200:
+            import warnings
+
+            warnings.warn(
+                f"num_samp_obj={self.num_samp_obj} exceeds the stock "
+                "hier_levels_obj quality gate (K<=200); falling back to the "
+                "shared hier_levels cascade. Override hier_levels_obj "
+                "explicitly to keep a per-object cascade at this K.",
+                stacklevel=2,
+            )
+            object.__setattr__(self, "hier_levels_obj", None)
 
     @property
     def nerf_num_freqs(self) -> int:

@@ -260,28 +260,10 @@ class HOISDF(nn.Module):
                 keep_cells=c.coarse_keep_cells, clamp=c.clamping_distance,
             )
         elif c.sdf_infer_mode == "hier":
-            # The DEFAULT hier_levels_obj promotion evidence is an oracle
-            # gate at K=num_samp_obj=200; oracle-exactness at K=200 implies
-            # exactness for any K<=200 (the kept candidate set contains the
-            # true top 200) but says nothing above it — so when num_samp_obj
-            # is raised past the gate while hier_levels_obj is still the
-            # stock value, fall back to the shared hand-grade cascade
-            # instead of silently reusing the K=200-tuned keeps (ADVICE
-            # r3).  An explicitly overridden hier_levels_obj is honored at
-            # any K (the user owns its gating).
-            import dataclasses as _dc
-
-            stock_obj_levels = next(
-                f.default for f in _dc.fields(type(c))
-                if f.name == "hier_levels_obj"
-            )
-            use_obj_levels = (
-                which == "obj"
-                and c.hier_levels_obj is not None
-                and not (
-                    c.hier_levels_obj == stock_obj_levels and num_points > 200
-                )
-            )
+            # hier_levels_obj=None means "share the hand cascade"; the
+            # K>200 quality-gate fallback happens at config construction
+            # (Config.__post_init__), so the field here is authoritative.
+            use_obj_levels = which == "obj" and c.hier_levels_obj is not None
             levels = c.hier_levels_obj if use_obj_levels else c.hier_levels
             points, sdf = sdf_guided_sample_hierarchical(
                 sdf_fn, center, cam_intr, bbox,

@@ -369,10 +369,14 @@ def test_hier_levels_obj_gate_fallback():
     """The stock hier_levels_obj is oracle-gated at K=num_samp_obj=200 only:
     raising num_samp_obj past the gate while leaving the field at its
     default must route the object cascade to the shared hier_levels
-    (ADVICE r3), while an EXPLICIT override is honored at any K.  Verified
-    structurally via the selected-point parity trick from
-    test_hier_levels_obj_override."""
+    (ADVICE r3), while an EXPLICIT override is honored at any K.  Since
+    round 5 the fallback is a construction-time normalization
+    (Config.__post_init__ -> hier_levels_obj=None, with a warning), not a
+    trace-time heuristic; verified both directly and structurally via the
+    selected-point parity trick from test_hier_levels_obj_override."""
     import dataclasses
+
+    import pytest
 
     from hoisdf_tpu.config import Config
     from test_model import tiny_config
@@ -381,12 +385,14 @@ def test_hier_levels_obj_gate_fallback():
     shared = ((4, 16), (2, 48))
     # num_samp_obj above the gate + stock obj levels (they clamp fine at
     # tiny scale, so any difference comes from the routing, not asserts).
-    cfg = dataclasses.replace(
-        tiny_config(
-            sdf_infer_mode="hier", hier_levels=shared, hier_levels_obj=stock
-        ),
-        num_samp_obj=201,
-    )
+    with pytest.warns(UserWarning, match="quality gate"):
+        cfg = dataclasses.replace(
+            tiny_config(
+                sdf_infer_mode="hier", hier_levels=shared, hier_levels_obj=stock
+            ),
+            num_samp_obj=201,
+        )
+    assert cfg.hier_levels_obj is None  # normalized at construction
     batch = tiny_batch(cfg, b=2, train=True)
     model = build_model(cfg)
     variables = model.init(
