@@ -68,6 +68,15 @@ def main():
         "--serve-clients", type=int, default=None,
         help="concurrent closed-loop clients (default 3x batch)",
     )
+    parser.add_argument(
+        "--serve-poisson", default=None, metavar="R1,R2,...",
+        help="open-loop Poisson arrival sweep: one load run per offered "
+             "rate (req/s); emits p50/p95/p99 latency + goodput per rate",
+    )
+    parser.add_argument(
+        "--serve-max-wait-ms", type=float, default=5.0,
+        help="BatchingServer coalescing window for the poisson sweep",
+    )
     args = parser.parse_args()
 
     import jax
@@ -124,6 +133,71 @@ def main():
                 "rank_corr": [round(float(x), 4) for x in rep["rank_corr"]],
                 "gate_pass": gate(rep),
             }))
+        return
+
+    if args.serve_poisson is not None:
+        # Open-loop serving load sweep (VERDICT r4 #7): Poisson arrivals at
+        # several offered rates; latency percentiles + goodput per rate.
+        from hoisdf_tpu.config import get_config
+        from hoisdf_tpu.data.synthetic import (
+            split_inputs_targets,
+            synthetic_batch,
+        )
+        from hoisdf_tpu.predictor import (
+            BatchingServer,
+            Predictor,
+            run_poisson_load,
+        )
+
+        if args.cpu:
+            cfg = get_config(
+                "dexycb", resnet_type=18, hidden_dim=64, dim_feedforward=128,
+                enc_layers=2, dec_layers=2, num_samp_hand=32, num_samp_obj=16,
+                input_img_shape=(64, 64), output_hm_shape=(32, 32, 32),
+                bins_n=16, sdf_infer_chunk=2048, compute_dtype="float32",
+                sdf_infer_mode="hier",
+                hier_levels=((4, 16), (2, 32)), hier_levels_obj=None,
+            )
+            batch = 4
+        else:
+            cfg, batch = None, 22  # Predictor's production default config
+        pred = Predictor(cfg, batch_size=batch)
+        pred.warmup()
+        pool_np, _ = split_inputs_targets(synthetic_batch(
+            pred.cfg, batch, seed=5, train=False
+        ))
+        frames = [
+            {k: v[i] for k, v in pool_np.items()} for i in range(batch)
+        ]
+        for rate in [float(r) for r in args.serve_poisson.split(",")]:
+            with BatchingServer(
+                pred, max_wait_ms=args.serve_max_wait_ms
+            ) as srv:
+                rep = run_poisson_load(
+                    srv, frames, rate, args.serve_seconds, seed=7
+                )
+                batches_n = srv.batches_dispatched
+            lat = np.asarray(rep.pop("latencies_s")) * 1e3
+            q = (lambda p: round(float(lat[min(int(len(lat) * p),
+                                               len(lat) - 1)]), 1)
+                 if len(lat) else None)
+            print(json.dumps({
+                "metric": "serving_poisson",
+                "value": round(rep["goodput_hz"], 1),
+                "unit": "frames/sec",
+                "offered_hz": rate,
+                "submitted": rep["submitted"],
+                "completed": rep["completed"],
+                "max_wait_ms": args.serve_max_wait_ms,
+                "batch": batch,
+                "mean_batch_fill": round(
+                    rep["completed"] / max(batches_n, 1), 2),
+                "p50_ms": q(0.50), "p95_ms": q(0.95), "p99_ms": q(0.99),
+                "frac_under_50ms": round(float((lat < 50).mean()), 3)
+                if len(lat) else None,
+                "frac_under_100ms": round(float((lat < 100).mean()), 3)
+                if len(lat) else None,
+            }), flush=True)
         return
 
     if args.serve:

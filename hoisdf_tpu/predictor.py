@@ -336,3 +336,73 @@ class BatchingServer:
 
     def __exit__(self, *exc) -> None:
         self.close()
+
+
+def run_poisson_load(
+    server: BatchingServer,
+    frames: List[Dict[str, np.ndarray]],
+    rate_hz: float,
+    duration_s: float,
+    seed: int = 0,
+) -> Dict[str, object]:
+    """Open-loop Poisson load driver for :class:`BatchingServer`.
+
+    Submits single frames (round-robin from ``frames``) with exponential
+    inter-arrival gaps at ``rate_hz`` for ``duration_s`` seconds, without
+    waiting for completions (open loop: an overloaded server builds a
+    backlog instead of throttling the generator, unlike the closed-loop
+    ``bench_components.py --serve`` clients).  Waits for every submitted
+    request, then reports::
+
+        {"offered_hz", "goodput_hz", "completed", "elapsed_s",
+         "latencies_s": sorted per-request latencies}
+
+    ``goodput_hz`` counts completions over the window from first submit to
+    last completion, so at overload it converges to server capacity.
+    Shared driver for the serving benchmark and the CPU saturation
+    regression test (reference has no serving subsystem; spec'd here).
+    """
+    rng = np.random.RandomState(seed)
+    latencies: List[float] = []
+    lock = threading.Lock()
+    futs = []
+    t_start = time.perf_counter()
+    t_end = t_start + duration_s
+    next_t = t_start
+    i = 0
+    while True:
+        now = time.perf_counter()
+        if now >= t_end:
+            break
+        if now < next_t:
+            time.sleep(min(next_t - now, 1e-3))
+            continue
+        t0 = time.perf_counter()
+
+        def _done(fut, t0=t0):
+            if fut.cancelled() or fut.exception() is not None:
+                return
+            with lock:
+                latencies.append(time.perf_counter() - t0)
+
+        fut = server.submit(frames[i % len(frames)])
+        fut.add_done_callback(_done)
+        futs.append(fut)
+        i += 1
+        next_t += rng.exponential(1.0 / rate_hz)
+    for fut in futs:
+        try:
+            fut.result(timeout=600)
+        except Exception:
+            pass
+    elapsed = time.perf_counter() - t_start
+    with lock:
+        lats = sorted(latencies)
+    return {
+        "offered_hz": rate_hz,
+        "submitted": len(futs),
+        "completed": len(lats),
+        "elapsed_s": elapsed,
+        "goodput_hz": len(lats) / elapsed if elapsed > 0 else 0.0,
+        "latencies_s": lats,
+    }

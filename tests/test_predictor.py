@@ -93,6 +93,29 @@ def test_batching_server_close_serves_accepted_requests(tiny_cfg, pred):
         assert f.result(timeout=120)["mano_joints"].shape == (21, 3)
 
 
+def test_batching_server_poisson_saturation(tiny_cfg, pred):
+    """Open-loop overload: offered rate far above capacity must build a
+    backlog that fully drains (every request completes), with the server
+    coalescing toward full batches — the saturation regression for the
+    serving load table (docs/PERFORMANCE.md 'Serving')."""
+    from hoisdf_tpu.predictor import BatchingServer, run_poisson_load
+
+    frames_np = synthetic_batch(tiny_cfg, 4, seed=23, train=False)
+    frames, _ = split_inputs_targets(frames_np)
+    pool = [{k: v[i] for k, v in frames.items()} for i in range(4)]
+    with BatchingServer(pred, max_wait_ms=5.0) as srv:
+        rep = run_poisson_load(srv, pool, rate_hz=30.0, duration_s=2.0, seed=3)
+        fill = rep["completed"] / max(srv.batches_dispatched, 1)
+    assert rep["submitted"] > 20  # the generator really ran open-loop
+    assert rep["completed"] == rep["submitted"]  # backlog fully drained
+    assert rep["goodput_hz"] > 0
+    # saturation must coalesce multi-frame batches (capacity on this box is
+    # far below 30 req/s, so the queue is never empty mid-run)
+    assert fill > 1.5, fill
+    lats = rep["latencies_s"]
+    assert lats == sorted(lats) and lats[-1] < 600
+
+
 def test_batching_server_single_request_and_close(tiny_cfg, pred):
     frames_np = synthetic_batch(tiny_cfg, 1, seed=11, train=False)
     frames, _ = split_inputs_targets(frames_np)
