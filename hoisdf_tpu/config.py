@@ -278,6 +278,19 @@ class Config:
         return (self.point_feat_size - 3) // 6  # = 5
 
 
+# The shrunken model used by every `--synthetic` smoke path (evaluate,
+# make_standin_ckpt, CI): small enough to compile on the 1-CPU host in
+# seconds while exercising every module.  Tools that must agree on the
+# model *structure* (e.g. a stand-in checkpoint later fed to
+# `evaluate --synthetic`) must all draw from this one dict.
+SYNTHETIC_TINY_OVERRIDES = dict(
+    resnet_type=18, hidden_dim=64, dim_feedforward=128, enc_layers=2,
+    dec_layers=2, num_samp_hand=32, num_samp_obj=16,
+    input_img_shape=(64, 64), output_hm_shape=(32, 32, 32), bins_n=16,
+    sdf_infer_chunk=2048, use_big_decoder=False,
+)
+
+
 def get_config(setting: str = "dexycb", **overrides) -> Config:
     """Build a preset config; mirrors main/config.py:39-97 derivations."""
     if setting not in ("ho3d", "ho3d_render", "dexycb", "dexycb_full"):

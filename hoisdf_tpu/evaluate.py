@@ -245,12 +245,9 @@ def main():
 
     overrides = {}
     if args.synthetic:
-        overrides = dict(
-            resnet_type=18, hidden_dim=64, dim_feedforward=128, enc_layers=2,
-            dec_layers=2, num_samp_hand=32, num_samp_obj=16,
-            input_img_shape=(64, 64), output_hm_shape=(32, 32, 32), bins_n=16,
-            sdf_infer_chunk=2048, use_big_decoder=False,
-        )
+        from hoisdf_tpu.config import SYNTHETIC_TINY_OVERRIDES
+
+        overrides = dict(SYNTHETIC_TINY_OVERRIDES)
     overrides.update(parse_cfg_overrides(args.cfg))
     if args.mano:
         overrides["mano_model_path"] = args.mano

@@ -205,6 +205,13 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true",
                    help="run the init on the host CPU backend")
+    p.add_argument(
+        "--synthetic", action="store_true",
+        help="build the stand-in for the shrunken `evaluate --synthetic` "
+        "model (config.SYNTHETIC_TINY_OVERRIDES) instead of the full "
+        "preset — the two must be sized identically or the converted "
+        "tree will not match at eval time",
+    )
     args = p.parse_args()
 
     if args.cpu:
@@ -212,9 +219,15 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
 
-    from hoisdf_tpu.config import get_config, parse_cfg_overrides
+    from hoisdf_tpu.config import (
+        SYNTHETIC_TINY_OVERRIDES,
+        get_config,
+        parse_cfg_overrides,
+    )
 
-    cfg = get_config(args.setting, **parse_cfg_overrides(args.cfg))
+    overrides = dict(SYNTHETIC_TINY_OVERRIDES) if args.synthetic else {}
+    overrides.update(parse_cfg_overrides(args.cfg))
+    cfg = get_config(args.setting, **overrides)
     state = build_standin_state(cfg, args.seed)
     np.savez(args.out, **state)
     print(f"wrote {args.out} ({len(state)} keys)")

@@ -189,12 +189,12 @@ def test_big_decoder_conversion_structure():
 
 
 def _tiny_overrides():
-    return dict(
-        resnet_type=18, hidden_dim=64, dim_feedforward=128, enc_layers=2,
-        dec_layers=2, num_samp_hand=32, num_samp_obj=16,
-        input_img_shape=(64, 64), output_hm_shape=(32, 32, 32), bins_n=16,
-        sdf_infer_chunk=2048, use_big_decoder=False,
-    )
+    # The one shared definition — a stand-in built with these must load
+    # into `evaluate --synthetic` (test_parity_dryrun_standin_to_results_txt
+    # exercises exactly that seam).
+    from hoisdf_tpu.config import SYNTHETIC_TINY_OVERRIDES
+
+    return dict(SYNTHETIC_TINY_OVERRIDES)
 
 
 def test_full_model_standin_roundtrip():
