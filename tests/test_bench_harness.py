@@ -101,7 +101,8 @@ def test_ladder_falls_back_to_fresh_process_on_same_batch(bench, monkeypatch):
 
     def fake_subprocess_attempt(batch, passthrough, tries=2, wait=90):
         calls.append(batch)
-        return (123.0, 1.5)  # green on the retry
+        # RESULT doc shape (_subprocess_attempt returns the parsed line)
+        return {"fps": 123.0, "p50": 1.5, "flops_frame": None}
 
     monkeypatch.setattr(mod, "_subprocess_attempt", fake_subprocess_attempt)
     monkeypatch.setattr(mod.time, "sleep", lambda s: None)
@@ -128,7 +129,7 @@ def test_no_retry_fails_fast_without_subprocess(bench, monkeypatch):
     calls = []
     monkeypatch.setattr(
         mod, "_subprocess_attempt",
-        lambda *a, **k: calls.append(a) or (1.0, 1.0),
+        lambda *a, **k: calls.append(a) or {"fps": 1.0, "p50": 1.0},
     )
     monkeypatch.setattr(mod.time, "sleep", lambda s: None)
     monkeypatch.setattr(
