@@ -77,6 +77,13 @@ def main():
         "--serve-max-wait-ms", type=float, default=5.0,
         help="BatchingServer coalescing window for the poisson sweep",
     )
+    parser.add_argument(
+        "--transfer-dtype", default="uint8", choices=("float32", "uint8"),
+        help="Predictor image wire format for the poisson sweep: uint8 "
+             "ships raw bytes and normalizes on device (4x fewer "
+             "host->device bytes — the serving bottleneck on a "
+             "remote-attached chip); float32 is the parity wire format",
+    )
     args = parser.parse_args()
 
     import jax
@@ -161,11 +168,17 @@ def main():
             batch = 4
         else:
             cfg, batch = None, 22  # Predictor's production default config
-        pred = Predictor(cfg, batch_size=batch)
+        pred = Predictor(
+            cfg, batch_size=batch, transfer_dtype=args.transfer_dtype
+        )
         pred.warmup()
         pool_np, _ = split_inputs_targets(synthetic_batch(
             pred.cfg, batch, seed=5, train=False
         ))
+        if args.transfer_dtype == "uint8":
+            # submit u8 frames (what a camera provides) so the open-loop
+            # driver measures the u8 wire format end to end
+            pool_np["img"] = Predictor._quantize_img(pool_np["img"])
         frames = [
             {k: v[i] for k, v in pool_np.items()} for i in range(batch)
         ]
@@ -190,6 +203,7 @@ def main():
                 "completed": rep["completed"],
                 "max_wait_ms": args.serve_max_wait_ms,
                 "batch": batch,
+                "transfer_dtype": args.transfer_dtype,
                 "mean_batch_fill": round(
                     rep["completed"] / max(batches_n, 1), 2),
                 "p50_ms": q(0.50), "p95_ms": q(0.95), "p99_ms": q(0.99),

@@ -61,7 +61,26 @@ class Predictor:
         cfg: Optional[Config] = None,
         ckpt_dir: Optional[str] = None,
         batch_size: int = 8,
+        transfer_dtype: str = "float32",
     ):
+        """``transfer_dtype``: wire format for the image batch.
+
+        ``"float32"`` (default) ships the normalized [0,1] crop as-is —
+        the parity path.  ``"uint8"`` ships raw bytes and normalizes
+        ON DEVICE via a host-computed 256-entry f32 LUT — bit-identical
+        to the host pipeline's ``image_io.to_float_image`` (a plain
+        device-side /255 is 1 ulp off: XLA rewrites it to
+        multiply-by-reciprocal): 4x fewer host->device bytes per batch.  Input transfer
+        is the serving bottleneck on remote-attached chips (measured
+        ~57 f/s capacity at f32 vs ~65 ms/batch device time over the axon
+        tunnel — docs/PERFORMANCE.md "Serving under load"), and u8 is what
+        a camera produces anyway.  Callers submitting u8 frames get
+        bit-exact f32-path outputs; f32 frames are re-quantized with
+        rint(img*255) (lossy only if the source was not u8).
+        """
+        if transfer_dtype not in ("float32", "uint8"):
+            raise ValueError(f"transfer_dtype {transfer_dtype!r}")
+        self.transfer_dtype = transfer_dtype
         self.cfg = cfg or get_config(
             "dexycb", sdf_infer_mode="hier", compute_dtype="bfloat16"
         )
@@ -75,6 +94,8 @@ class Predictor:
 
         sample = synthetic_batch(self.cfg, batch_size, train=False)
         inputs, _ = split_inputs_targets(sample)
+        if self.transfer_dtype == "uint8":
+            inputs["img"] = self._quantize_img(inputs["img"])
         self._template = {
             k: jnp.asarray(v) for k, v in inputs.items() if k in INPUT_KEYS
         }
@@ -123,8 +144,21 @@ class Predictor:
             (k, tuple(shapes[k].shape)) for k in SERVE_KEYS if k in shapes
         ]
 
+        # u8 wire format: normalize on device, BIT-exactly.  A plain
+        # astype(f32)/255 is NOT bit-identical to the host pipeline's
+        # to_float_image — XLA rewrites divide-by-constant into multiply-
+        # by-reciprocal (~1 ulp off).  u8 has only 256 values, so a host-
+        # computed f32 LUT (numpy's own v/255.0 per value) gathered on
+        # device reproduces the host normalize exactly, rewrite-proof.
+        u8_lut = jnp.asarray(np.arange(256, dtype=np.float32) / 255.0)
+
         @jax.jit
         def _packed_step(params, batch_stats, inputs):
+            if jnp.issubdtype(inputs["img"].dtype, jnp.integer):
+                inputs = dict(
+                    inputs,
+                    img=jnp.take(u8_lut, inputs["img"].astype(jnp.int32)),
+                )
             preds = self._eval_step(params, batch_stats, inputs)
             return jnp.concatenate(
                 [preds[k].reshape(batch_size, -1).astype(jnp.float32)
@@ -134,6 +168,16 @@ class Predictor:
 
         self._packed_step = _packed_step
         self.stats = StepStats()
+
+    @staticmethod
+    def _quantize_img(img: np.ndarray) -> np.ndarray:
+        """To the u8 wire format.  u8 passes through untouched (the exact
+        case); [0,1] float crops are re-quantized with rint — lossless iff
+        the float came from a u8 source divided by 255."""
+        img = np.asarray(img)
+        if img.dtype == np.uint8:
+            return img
+        return np.clip(np.rint(img * 255.0), 0, 255).astype(np.uint8)
 
     def warmup(self) -> None:
         jax.block_until_ready(
@@ -158,6 +202,12 @@ class Predictor:
                 batch[k] = self._template[k]
                 continue
             v = np.asarray(frames[k])
+            if k == "img":
+                if self.transfer_dtype == "uint8":
+                    v = self._quantize_img(v)
+                elif v.dtype == np.uint8:
+                    # f32 wire format but a u8 frame: host-side normalize
+                    v = v.astype(np.float32) / 255.0
             if n < self.batch_size:
                 pad = np.repeat(v[-1:], self.batch_size - n, axis=0)
                 v = np.concatenate([v, pad], axis=0)

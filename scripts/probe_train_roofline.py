@@ -71,6 +71,20 @@ def main():
     p.add_argument("--trace", default=None, help="jax.profiler trace dir")
     p.add_argument("--presampled", action="store_true",
                    help="probe the presampled branch instead of field")
+    p.add_argument(
+        "--dump-hlo", default=None, metavar="PATH",
+        help="write the optimized HLO of the compiled grad step here and "
+        "print its fingerprint (sha256 of the module text) BEFORE running "
+        "it — a TPU kernel fault kills the client, so the artifact that "
+        "identifies the failing graph must exist first (same protocol as "
+        "tools/repro_fused_fault.py)",
+    )
+    p.add_argument(
+        "--compile-only", action="store_true",
+        help="lower+compile and report cost analysis (and --dump-hlo) "
+        "without executing — fingerprint a known-faulting batch without "
+        "taking the chip down",
+    )
     args = p.parse_args()
 
     import jax
@@ -158,6 +172,21 @@ def main():
         cost = compiled.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
+        if args.dump_hlo and name == args.remat[0]:
+            import hashlib
+
+            hlo_text = compiled.as_text()
+            with open(args.dump_hlo, "w") as f:
+                f.write(hlo_text)
+            print(json.dumps({
+                "metric": f"train_grad_hlo_{args.setting}",
+                "batch": batch_n,
+                "remat": name,
+                "hlo_path": args.dump_hlo,
+                "hlo_fingerprint": hashlib.sha256(
+                    hlo_text.encode()).hexdigest()[:16],
+                "hlo_bytes": len(hlo_text),
+            }), flush=True)
         flops = float(cost.get("flops", 0.0))
         byt = float(cost.get("bytes accessed", 0.0))
         intensity = flops / byt if byt else None
@@ -166,16 +195,22 @@ def main():
             min(1.0, intensity / ridge) if (intensity and ridge) else None
         )
 
-        t = chain_time(
-            lambda c: grad_step(c, state.params, state.batch_stats), args.iters
-        )
-        achieved = flops / t if flops else None
-        mfu = achieved / peak if (achieved and peak) else None
+        if args.compile_only:
+            t = None
+            achieved = mfu = None
+        else:
+            t = chain_time(
+                lambda c: grad_step(c, state.params, state.batch_stats),
+                args.iters,
+            )
+            achieved = flops / t if flops else None
+            mfu = achieved / peak if (achieved and peak) else None
         print(json.dumps({
             "metric": f"train_grad_roofline_{args.setting}_{name}",
             "branch": "presampled" if use_pre else "field",
-            "ms": round(t * 1e3, 2),
-            "fps": round(batch_n / t, 1),
+            "batch": batch_n,
+            "ms": round(t * 1e3, 2) if t else None,
+            "fps": round(batch_n / t, 1) if t else None,
             "gflop": round(flops / 1e9, 2),
             "hbm_gb": round(byt / 1e9, 3),
             "intensity_flop_per_byte": round(intensity, 1) if intensity else None,

@@ -126,3 +126,31 @@ def test_batching_server_single_request_and_close(tiny_cfg, pred):
     srv.close()  # idempotent
     with pytest.raises(RuntimeError):
         srv.submit({k: v[0] for k, v in frames.items()})
+
+
+def test_uint8_transfer_dtype_bit_exact_for_u8_sources(tiny_cfg, pred):
+    """The u8 wire format (normalize-on-device) must match the f32 path
+    bit-for-bit when the source frames are u8: astype(f32)/255 on device
+    is the same IEEE f32 division image_io.to_float_image does on host."""
+    from hoisdf_tpu.data.image_io import to_float_image
+
+    rng = np.random.RandomState(29)
+    frames_np = synthetic_batch(tiny_cfg, 3, seed=29, train=False)
+    frames, _ = split_inputs_targets(frames_np)
+    img_u8 = rng.randint(0, 256, frames["img"].shape, dtype=np.uint8)
+
+    pred_u8 = Predictor(tiny_cfg, batch_size=4, transfer_dtype="uint8")
+    out_u8 = pred_u8.predict(dict(frames, img=img_u8))
+    out_f32 = pred.predict(dict(frames, img=to_float_image(img_u8)))
+    for k in out_f32:
+        np.testing.assert_array_equal(out_u8[k], out_f32[k], err_msg=k)
+
+    # an f32 [0,1] crop that CAME from u8 re-quantizes losslessly
+    out_req = pred_u8.predict(dict(frames, img=to_float_image(img_u8)))
+    np.testing.assert_array_equal(out_req["mano_joints"],
+                                  out_u8["mano_joints"])
+
+    # the f32 wire format normalizes a raw u8 frame host-side (same result)
+    out_host = pred.predict(dict(frames, img=img_u8))
+    np.testing.assert_array_equal(out_host["mano_joints"],
+                                  out_u8["mano_joints"])
