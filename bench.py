@@ -414,9 +414,12 @@ def main() -> None:
             "batch_opt": best["batch"] if best else None,
             "batch_opt_fps": best["fps"] if best else None,
         }
+        # dexycb keeps the legacy filename (docs reference it); other
+        # presets get their own file so sweeps don't clobber each other
         out_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "docs", "eval_batch_sweep.json",
+            os.path.dirname(os.path.abspath(__file__)), "docs",
+            "eval_batch_sweep.json" if args.setting == "dexycb"
+            else f"eval_batch_sweep_{args.setting}.json",
         )
         with open(out_path, "w") as f:
             json.dump(doc, f, indent=1)
@@ -511,18 +514,19 @@ def main() -> None:
     # (docs/eval_batch_sweep.json), reported alongside the batch-22 parity
     # headline when the sweep's methodology matches this run.
     batch_opt = batch_opt_fps = None
-    try:
-        with open(os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "docs", "eval_batch_sweep.json",
-        )) as f:
-            sweep = json.load(f)
+    _docs = os.path.join(os.path.dirname(os.path.abspath(__file__)), "docs")
+    for _name in (f"eval_batch_sweep_{args.setting}.json",
+                  "eval_batch_sweep.json"):
+        try:
+            with open(os.path.join(_docs, _name)) as f:
+                sweep = json.load(f)
+        except (OSError, ValueError):
+            continue
         if (not args.cpu and sweep.get("setting") == args.setting
                 and sweep.get("sampler") == cfg.sdf_infer_mode):
             batch_opt = sweep.get("batch_opt")
             batch_opt_fps = sweep.get("batch_opt_fps")
-    except (OSError, ValueError):
-        pass
+        break
 
     print(
         json.dumps(
