@@ -112,6 +112,36 @@ _PEAK_FLOPS = {
 }
 
 
+def _sweep_path(setting: str) -> str:
+    # dexycb keeps the legacy filename (docs reference it); other presets
+    # get their own file so sweeps don't clobber each other
+    name = ("eval_batch_sweep.json" if setting == "dexycb"
+            else f"eval_batch_sweep_{setting}.json")
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "docs", name)
+
+
+def _read_batch_sweep(setting: str, sampler: str):
+    """(batch_opt, batch_opt_fps) from a recorded ``--batch-sweep`` run whose
+    methodology (setting + sampler) matches this run, else (None, None).
+
+    Prefers the per-setting file; falls back to the legacy shared filename
+    (pre-round-5 sweeps of any setting were written there)."""
+    legacy = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "docs", "eval_batch_sweep.json")
+    for path in dict.fromkeys((_sweep_path(setting), legacy)):
+        try:
+            with open(path) as f:
+                sweep = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if (sweep.get("setting") == setting
+                and sweep.get("sampler") == sampler):
+            return sweep.get("batch_opt"), sweep.get("batch_opt_fps")
+    return None, None
+
+
 def _peak_flops(device_kind: str) -> float | None:
     kind = device_kind.lower()
     for key in sorted(_PEAK_FLOPS, key=len, reverse=True):
@@ -414,13 +444,7 @@ def main() -> None:
             "batch_opt": best["batch"] if best else None,
             "batch_opt_fps": best["fps"] if best else None,
         }
-        # dexycb keeps the legacy filename (docs reference it); other
-        # presets get their own file so sweeps don't clobber each other
-        out_path = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "docs",
-            "eval_batch_sweep.json" if args.setting == "dexycb"
-            else f"eval_batch_sweep_{args.setting}.json",
-        )
+        out_path = _sweep_path(args.setting)
         with open(out_path, "w") as f:
             json.dump(doc, f, indent=1)
         print(json.dumps({
@@ -514,19 +538,9 @@ def main() -> None:
     # (docs/eval_batch_sweep.json), reported alongside the batch-22 parity
     # headline when the sweep's methodology matches this run.
     batch_opt = batch_opt_fps = None
-    _docs = os.path.join(os.path.dirname(os.path.abspath(__file__)), "docs")
-    for _name in (f"eval_batch_sweep_{args.setting}.json",
-                  "eval_batch_sweep.json"):
-        try:
-            with open(os.path.join(_docs, _name)) as f:
-                sweep = json.load(f)
-        except (OSError, ValueError):
-            continue
-        if (not args.cpu and sweep.get("setting") == args.setting
-                and sweep.get("sampler") == cfg.sdf_infer_mode):
-            batch_opt = sweep.get("batch_opt")
-            batch_opt_fps = sweep.get("batch_opt_fps")
-        break
+    if not args.cpu:
+        batch_opt, batch_opt_fps = _read_batch_sweep(
+            args.setting, cfg.sdf_infer_mode)
 
     print(
         json.dumps(

@@ -93,6 +93,46 @@ def test_read_baseline_sampler_defaults_by_metric(bench):
     assert mod._read_baseline(smoke, "pipelined", "hier") == 7.0
 
 
+def test_read_batch_sweep_prefers_per_setting_file(bench):
+    """Round-5: non-dexycb sweeps live in eval_batch_sweep_<setting>.json;
+    dexycb keeps the legacy shared filename. The headline lookup must
+    prefer the per-setting file and fall back to the legacy one (where
+    pre-round-5 sweeps of any setting were recorded)."""
+    mod, tmp = bench
+    docs = tmp / "docs"
+    docs.mkdir()
+    _write(docs, "eval_batch_sweep.json", {
+        "setting": "dexycb", "sampler": "hier",
+        "batch_opt": 44, "batch_opt_fps": 554.7})
+    _write(docs, "eval_batch_sweep_ho3d.json", {
+        "setting": "ho3d", "sampler": "hier",
+        "batch_opt": 33, "batch_opt_fps": 400.0})
+    assert mod._read_batch_sweep("dexycb", "hier") == (44, 554.7)
+    assert mod._read_batch_sweep("ho3d", "hier") == (33, 400.0)
+    # methodology mismatch (sampler) -> no anchor
+    assert mod._read_batch_sweep("dexycb", "full") == (None, None)
+    # no file for this setting anywhere -> no anchor
+    assert mod._read_batch_sweep("ho3d_render", "hier") == (None, None)
+
+
+def test_read_batch_sweep_legacy_fallback_and_missing_dir(bench):
+    mod, tmp = bench
+    # no docs dir at all: must not raise
+    assert mod._read_batch_sweep("dexycb", "hier") == (None, None)
+    docs = tmp / "docs"
+    docs.mkdir()
+    # a pre-round-5 ho3d sweep recorded in the legacy shared file still
+    # anchors an ho3d run (fallback), but never a dexycb run (setting gate)
+    _write(docs, "eval_batch_sweep.json", {
+        "setting": "ho3d", "sampler": "hier",
+        "batch_opt": 22, "batch_opt_fps": 390.0})
+    assert mod._read_batch_sweep("ho3d", "hier") == (22, 390.0)
+    assert mod._read_batch_sweep("dexycb", "hier") == (None, None)
+    # write path: per-setting name for non-dexycb, legacy name for dexycb
+    assert mod._sweep_path("dexycb").endswith("docs/eval_batch_sweep.json")
+    assert mod._sweep_path("ho3d").endswith("docs/eval_batch_sweep_ho3d.json")
+
+
 def test_ladder_falls_back_to_fresh_process_on_same_batch(bench, monkeypatch):
     """First in-process attempt fails -> a fresh-process retry runs at the
     SAME batch before descending the ladder (incl. single-entry ladders)."""
