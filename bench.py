@@ -121,9 +121,13 @@ def _sweep_path(setting: str) -> str:
         os.path.dirname(os.path.abspath(__file__)), "docs", name)
 
 
-def _read_batch_sweep(setting: str, sampler: str):
+def _read_batch_sweep(setting: str, sampler: str,
+                      dtype: str = "bfloat16", device_kind: str = None):
     """(batch_opt, batch_opt_fps) from a recorded ``--batch-sweep`` run whose
-    methodology (setting + sampler) matches this run, else (None, None).
+    methodology (setting + sampler + dtype + device) matches this run, else
+    (None, None).  Sweeps recorded before dtype was written (round 5) were
+    all bfloat16, so a dtype-less doc only anchors a bfloat16 run; the
+    device check is skipped when either side is unknown.
 
     Prefers the per-setting file; falls back to the legacy shared filename
     (pre-round-5 sweeps of any setting were written there)."""
@@ -137,7 +141,10 @@ def _read_batch_sweep(setting: str, sampler: str):
         except (OSError, ValueError):
             continue
         if (sweep.get("setting") == setting
-                and sweep.get("sampler") == sampler):
+                and sweep.get("sampler") == sampler
+                and sweep.get("dtype", "bfloat16") == dtype
+                and (sweep.get("device") is None or device_kind is None
+                     or sweep.get("device") == device_kind)):
             return sweep.get("batch_opt"), sweep.get("batch_opt_fps")
     return None, None
 
@@ -409,7 +416,9 @@ def main() -> None:
         "--setting", args.setting,
         "--sdf-infer-mode", args.sdf_infer_mode, "--dtype", args.dtype,
         "--iters", str(args.iters), "--warmup", str(args.warmup),
-    ] + (["--no-fused"] if args.no_fused else []) + (
+    ] + (["--cpu"] if args.cpu else []) + (
+        ["--no-fused"] if args.no_fused else []
+    ) + (
         ["--hier-levels", args.hier_levels] if args.hier_levels else []
     ) + [a for item in args.cfg for a in ("--cfg", item)]
 
@@ -439,16 +448,21 @@ def main() -> None:
         best = max(ok_rows, key=lambda r: r["fps"]) if ok_rows else None
         doc = {
             "setting": args.setting, "sampler": cfg.sdf_infer_mode,
+            "dtype": cfg.compute_dtype,
             "device": _jax.devices()[0].device_kind, "mode": "pipelined",
             "rows": rows,
             "batch_opt": best["batch"] if best else None,
             "batch_opt_fps": best["fps"] if best else None,
         }
-        out_path = _sweep_path(args.setting)
-        with open(out_path, "w") as f:
-            json.dump(doc, f, indent=1)
+        if not args.cpu:
+            # a CPU smoke sweep must never clobber the recorded TPU sweep
+            # that headline runs anchor their batch_opt against
+            out_path = _sweep_path(args.setting)
+            with open(out_path, "w") as f:
+                json.dump(doc, f, indent=1)
         print(json.dumps({
-            "metric": f"{args.setting}_eval_batch_sweep",
+            "metric": f"{args.setting}_eval_batch_sweep"
+            + ("_cpu_smoke" if args.cpu else ""),
             "value": best["fps"] if best else 0.0,
             "unit": "frames/sec/chip", "vs_baseline": 1.0, **doc,
         }))
@@ -538,9 +552,11 @@ def main() -> None:
     # (docs/eval_batch_sweep.json), reported alongside the batch-22 parity
     # headline when the sweep's methodology matches this run.
     batch_opt = batch_opt_fps = None
-    if not args.cpu:
+    if not args.cpu and not (args.cfg or args.hier_levels or args.no_fused):
+        # --cfg/--hier-levels/--no-fused change the compiled graph, so a
+        # recorded default-graph sweep is not this run's operating curve
         batch_opt, batch_opt_fps = _read_batch_sweep(
-            args.setting, cfg.sdf_infer_mode)
+            args.setting, cfg.sdf_infer_mode, cfg.compute_dtype, device_kind)
 
     print(
         json.dumps(

@@ -145,7 +145,10 @@ def main():
     if args.serve_poisson is not None:
         # Open-loop serving load sweep (VERDICT r4 #7): Poisson arrivals at
         # several offered rates; latency percentiles + goodput per rate.
-        from hoisdf_tpu.config import get_config
+        from hoisdf_tpu.config import (
+            SYNTHETIC_TINY_OVERRIDES,
+            get_config,
+        )
         from hoisdf_tpu.data.synthetic import (
             split_inputs_targets,
             synthetic_batch,
@@ -158,11 +161,8 @@ def main():
 
         if args.cpu:
             cfg = get_config(
-                "dexycb", resnet_type=18, hidden_dim=64, dim_feedforward=128,
-                enc_layers=2, dec_layers=2, num_samp_hand=32, num_samp_obj=16,
-                input_img_shape=(64, 64), output_hm_shape=(32, 32, 32),
-                bins_n=16, sdf_infer_chunk=2048, compute_dtype="float32",
-                sdf_infer_mode="hier",
+                "dexycb", **SYNTHETIC_TINY_OVERRIDES,
+                compute_dtype="float32", sdf_infer_mode="hier",
                 hier_levels=((4, 16), (2, 32)), hier_levels_obj=None,
             )
             batch = 4
@@ -222,7 +222,10 @@ def main():
         # gap is batching + scatter overhead.
         import threading
 
-        from hoisdf_tpu.config import get_config
+        from hoisdf_tpu.config import (
+            SYNTHETIC_TINY_OVERRIDES,
+            get_config,
+        )
         from hoisdf_tpu.data.synthetic import (
             split_inputs_targets,
             synthetic_batch,
@@ -231,11 +234,8 @@ def main():
 
         if args.cpu:
             cfg = get_config(
-                "dexycb", resnet_type=18, hidden_dim=64, dim_feedforward=128,
-                enc_layers=2, dec_layers=2, num_samp_hand=32, num_samp_obj=16,
-                input_img_shape=(64, 64), output_hm_shape=(32, 32, 32),
-                bins_n=16, sdf_infer_chunk=2048, compute_dtype="float32",
-                sdf_infer_mode="hier",
+                "dexycb", **SYNTHETIC_TINY_OVERRIDES,
+                compute_dtype="float32", sdf_infer_mode="hier",
                 hier_levels=((4, 16), (2, 32)), hier_levels_obj=None,
             )
             batch = 4
@@ -326,7 +326,10 @@ def main():
                     "unit": "frames/sec"})
 
     if args.train:
-        from hoisdf_tpu.config import get_config
+        from hoisdf_tpu.config import (
+            SYNTHETIC_TINY_OVERRIDES,
+            get_config,
+        )
         from hoisdf_tpu.data.synthetic import synthetic_batch, split_inputs_targets
         from hoisdf_tpu.models.hoisdf import build_model
         from hoisdf_tpu.train import create_train_state, make_train_step

@@ -332,11 +332,14 @@ class BatchingServer:
         ]
         if not pending:
             return
-        frames = {
-            k: np.stack([np.asarray(f[k]) for f, _ in pending])
-            for k in INPUT_KEYS if k in pending[0][0]
-        }
         try:
+            # batch assembly inside the try: a malformed frame (ragged
+            # shapes, missing key) must fail THIS batch's futures, not kill
+            # the dispatcher thread and strand every later request
+            frames = {
+                k: np.stack([np.asarray(f[k]) for f, _ in pending])
+                for k in INPUT_KEYS if k in pending[0][0]
+            }
             preds, _n = self.predictor.predict_async(frames)
         except Exception as exc:  # bad inputs / dispatch error: this batch only
             self._fail([fut for _, fut in pending], exc)
@@ -415,6 +418,11 @@ def run_poisson_load(
     rng = np.random.RandomState(seed)
     latencies: List[float] = []
     lock = threading.Lock()
+    # Future.set_result wakes result() waiters BEFORE invoking done
+    # callbacks, so the driver could build the report while the last
+    # callbacks are still pending; each callback releases this semaphore
+    # and the driver acquires once per submit before reading `latencies`.
+    done_sem = threading.Semaphore(0)
     futs = []
     t_start = time.perf_counter()
     t_end = t_start + duration_s
@@ -430,10 +438,12 @@ def run_poisson_load(
         t0 = time.perf_counter()
 
         def _done(fut, t0=t0):
-            if fut.cancelled() or fut.exception() is not None:
-                return
-            with lock:
-                latencies.append(time.perf_counter() - t0)
+            try:
+                if not fut.cancelled() and fut.exception() is None:
+                    with lock:
+                        latencies.append(time.perf_counter() - t0)
+            finally:
+                done_sem.release()
 
         fut = server.submit(frames[i % len(frames)])
         fut.add_done_callback(_done)
@@ -445,6 +455,11 @@ def run_poisson_load(
             fut.result(timeout=600)
         except Exception:
             pass
+    deadline = time.monotonic() + 60.0
+    for _ in futs:  # every callback has run before the report is built
+        if not done_sem.acquire(timeout=max(deadline - time.monotonic(),
+                                            1e-3)):
+            break
     elapsed = time.perf_counter() - t_start
     with lock:
         lats = sorted(latencies)

@@ -45,17 +45,14 @@ def main() -> int:
     _cc()
     import numpy as np
 
-    from hoisdf_tpu.config import get_config
+    from hoisdf_tpu.config import SYNTHETIC_TINY_OVERRIDES, get_config
     from hoisdf_tpu.data.synthetic import split_inputs_targets, synthetic_batch
     from hoisdf_tpu.predictor import Predictor
 
     cfg = None
     if args.cpu:
         cfg = get_config(
-            "dexycb", resnet_type=18, hidden_dim=64, dim_feedforward=128,
-            enc_layers=2, dec_layers=2, num_samp_hand=32, num_samp_obj=16,
-            input_img_shape=(64, 64), output_hm_shape=(32, 32, 32),
-            bins_n=16, sdf_infer_chunk=2048, compute_dtype="float32",
+            "dexycb", **SYNTHETIC_TINY_OVERRIDES, compute_dtype="float32",
             sdf_infer_mode="hier", hier_levels=((4, 16), (2, 32)),
             hier_levels_obj=None,
         )
@@ -84,10 +81,19 @@ def main() -> int:
 
     t_step = timed(step, args.iters)
 
-    # device->host pull of the packed outputs
+    # device->host pull of the packed outputs.  JAX caches the host copy
+    # on the ArrayImpl after the first np.asarray, so timing repeated pulls
+    # of ONE handle measures a dict lookup, not a transfer: time a fresh
+    # step+pull per iteration instead and subtract the already-measured
+    # step time (derived, so labeled d2h_packed_derived below).
     handle = pred._packed_step(pred.params, pred.batch_stats, dev_inputs)
     jax.block_until_ready(handle)
-    t_d2h = timed(lambda: np.asarray(handle), args.iters)
+
+    def step_pull():
+        np.asarray(
+            pred._packed_step(pred.params, pred.batch_stats, dev_inputs))
+
+    t_d2h = max(timed(step_pull, args.iters) - t_step, 0.0)
 
     # u8-wire step: same graph + the on-device LUT normalize (its cost =
     # step_u8 - step); also primes the persistent compile cache for the
@@ -114,7 +120,7 @@ def main() -> int:
         "h2d_u8_ms": round(t_h2d_u8 * 1e3, 1),
         "step_ms": round(t_step * 1e3, 1),
         "step_u8_ms": round(t_step_u8 * 1e3, 1),
-        "d2h_packed_ms": round(t_d2h * 1e3, 1),
+        "d2h_packed_derived_ms": round(t_d2h * 1e3, 1),
         "packed_out_mb": round(
             np.asarray(handle).nbytes / 1e6, 3),
         "device": device.device_kind,
