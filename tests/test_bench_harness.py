@@ -133,6 +133,38 @@ def test_read_batch_sweep_legacy_fallback_and_missing_dir(bench):
     assert mod._sweep_path("ho3d").endswith("docs/eval_batch_sweep_ho3d.json")
 
 
+def test_read_batch_sweep_dtype_and_device_methodology(bench):
+    """Round-5 cont.: a recorded sweep only anchors a headline run whose
+    dtype matches (dtype-less pre-round-5 docs were all bfloat16) and whose
+    device matches when both sides are known — an f32 or different-chip run
+    has a different operating curve."""
+    mod, tmp = bench
+    docs = tmp / "docs"
+    docs.mkdir()
+    _write(docs, "eval_batch_sweep.json", {
+        "setting": "dexycb", "sampler": "hier", "dtype": "bfloat16",
+        "device": "TPU v5 lite", "batch_opt": 44, "batch_opt_fps": 554.7})
+    ok = (44, 554.7)
+    assert mod._read_batch_sweep("dexycb", "hier", "bfloat16",
+                                 "TPU v5 lite") == ok
+    # unknown device on either side: skip the device check
+    assert mod._read_batch_sweep("dexycb", "hier", "bfloat16", None) == ok
+    # dtype mismatch -> no anchor
+    assert mod._read_batch_sweep("dexycb", "hier", "float32",
+                                 "TPU v5 lite") == (None, None)
+    # device mismatch -> no anchor
+    assert mod._read_batch_sweep("dexycb", "hier", "bfloat16",
+                                 "TPU v6 lite") == (None, None)
+    # dtype-less legacy doc == bfloat16 (all pre-round-5 sweeps were bf16)
+    _write(docs, "eval_batch_sweep.json", {
+        "setting": "dexycb", "sampler": "hier",
+        "batch_opt": 33, "batch_opt_fps": 500.0})
+    assert mod._read_batch_sweep("dexycb", "hier", "bfloat16",
+                                 "TPU v5 lite") == (33, 500.0)
+    assert mod._read_batch_sweep("dexycb", "hier", "float32",
+                                 "TPU v5 lite") == (None, None)
+
+
 def test_ladder_falls_back_to_fresh_process_on_same_batch(bench, monkeypatch):
     """First in-process attempt fails -> a fresh-process retry runs at the
     SAME batch before descending the ladder (incl. single-entry ladders)."""
