@@ -244,6 +244,17 @@ class Config:
     # GIL-held fraction drops enough that data_worker_mode="thread" scales
     # with cores (docs/PERFORMANCE.md input-pipeline table).
     native_pipeline: str = "auto"
+    # Host->device wire format for the train/eval loops' input batches
+    # (ops/wire.py).  "uint8" ships the image as raw bytes (LUT-normalized
+    # on device, bit-identical to the host f32 — the Predictor's proven
+    # transfer_dtype trick) and the binary seg masks as u8: ~3.9x fewer
+    # wire bytes per train batch (17.3 MB img + 2.9 MB segs -> 5.2 MB at
+    # batch 22).  Lossless for all built-in datasets (images are u8-source,
+    # masks binary; non-binary masks fall back to f32 automatically).
+    # Default stays f32 = the parity wire; flip on when input transfer is
+    # the bottleneck (remote-attached chips, many-host input pipelines) —
+    # measured tables in docs/PERFORMANCE.md "Train/eval input wire".
+    transfer_dtype: str = "float32"
     seed: int = 0
 
     @property
@@ -254,6 +265,11 @@ class Config:
         return 32 + 64 + 128 + 256 + 512
 
     def __post_init__(self):
+        if self.transfer_dtype not in ("float32", "uint8"):
+            raise ValueError(
+                f"transfer_dtype {self.transfer_dtype!r} not in "
+                "('float32', 'uint8')"
+            )
         # The stock hier_levels_obj is oracle-gated at K=num_samp_obj<=200
         # only (see its field comment): past the gate, the un-gated stock
         # keeps must not silently apply, so normalize to None = share the

@@ -33,6 +33,7 @@ from hoisdf_tpu.metrics import (
 from hoisdf_tpu.models.hoisdf import build_model
 from hoisdf_tpu.models.mano_head import mano_head_gt
 from hoisdf_tpu.ops.ik import ik_solver_mano
+from hoisdf_tpu.ops import wire
 from hoisdf_tpu.train import make_eval_step
 from hoisdf_tpu.utils import checkpoint as ckpt_util
 
@@ -391,9 +392,17 @@ def main():
     pending = None
     for inputs, targets, templates, valid in batches():
         with mesh:
+            device_inputs = {
+                k: v for k, v in inputs.items()
+                if k not in ("obj_cls", "obj_valid")
+            }
+            if cfg.transfer_dtype == "uint8":
+                # u8 image wire (ops/wire.py): 4x fewer bytes to the chip;
+                # the jitted step LUT-decodes bit-exactly.  Host-side
+                # metrics keep the original f32 `inputs`.
+                device_inputs = wire.encode_inputs(device_inputs)
             inputs_j = shard_batch(
-                {k: jnp.asarray(v) for k, v in inputs.items()
-                 if k not in ("obj_cls", "obj_valid")}, mesh,
+                {k: jnp.asarray(v) for k, v in device_inputs.items()}, mesh,
             )
             preds = eval_step(params, batch_stats, inputs_j)
         if pending is not None:

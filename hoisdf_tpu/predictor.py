@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from hoisdf_tpu.config import Config, get_config
+from hoisdf_tpu.ops import wire
 from hoisdf_tpu.data.synthetic import split_inputs_targets, synthetic_batch
 from hoisdf_tpu.mano.layer import ManoBuffers
 from hoisdf_tpu.mano.model import load_mano_npz, make_synthetic_mano
@@ -144,21 +145,12 @@ class Predictor:
             (k, tuple(shapes[k].shape)) for k in SERVE_KEYS if k in shapes
         ]
 
-        # u8 wire format: normalize on device, BIT-exactly.  A plain
-        # astype(f32)/255 is NOT bit-identical to the host pipeline's
-        # to_float_image — XLA rewrites divide-by-constant into multiply-
-        # by-reciprocal (~1 ulp off).  u8 has only 256 values, so a host-
-        # computed f32 LUT (numpy's own v/255.0 per value) gathered on
-        # device reproduces the host normalize exactly, rewrite-proof.
-        u8_lut = jnp.asarray(np.arange(256, dtype=np.float32) / 255.0)
-
+        # u8 wire format: normalize on device, BIT-exactly, via the shared
+        # LUT codec (ops/wire.py — rewrite-proof vs XLA's multiply-by-
+        # reciprocal /255; trace-time no-op for the f32 wire).
         @jax.jit
         def _packed_step(params, batch_stats, inputs):
-            if jnp.issubdtype(inputs["img"].dtype, jnp.integer):
-                inputs = dict(
-                    inputs,
-                    img=jnp.take(u8_lut, inputs["img"].astype(jnp.int32)),
-                )
+            inputs = wire.decode_inputs(inputs)
             preds = self._eval_step(params, batch_stats, inputs)
             return jnp.concatenate(
                 [preds[k].reshape(batch_size, -1).astype(jnp.float32)
@@ -169,15 +161,10 @@ class Predictor:
         self._packed_step = _packed_step
         self.stats = StepStats()
 
-    @staticmethod
-    def _quantize_img(img: np.ndarray) -> np.ndarray:
-        """To the u8 wire format.  u8 passes through untouched (the exact
-        case); [0,1] float crops are re-quantized with rint — lossless iff
-        the float came from a u8 source divided by 255."""
-        img = np.asarray(img)
-        if img.dtype == np.uint8:
-            return img
-        return np.clip(np.rint(img * 255.0), 0, 255).astype(np.uint8)
+    # To the u8 wire format (ops/wire.py): u8 passes through untouched (the
+    # exact case); [0,1] float crops are re-quantized with rint — lossless
+    # iff the float came from a u8 source divided by 255.
+    _quantize_img = staticmethod(wire.quantize_image_u8)
 
     def warmup(self) -> None:
         jax.block_until_ready(

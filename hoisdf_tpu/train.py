@@ -38,6 +38,7 @@ from hoisdf_tpu.losses import (
 )
 from hoisdf_tpu.mano.layer import ManoBuffers
 from hoisdf_tpu.models.hoisdf import HOISDF
+from hoisdf_tpu.ops import wire
 from hoisdf_tpu.models.mano_head import mano_head_gt, mano_head_pred
 from hoisdf_tpu.ops.heatmap import render_gaussian_heatmap
 
@@ -246,6 +247,10 @@ def make_train_step(
         *,
         use_presampled: bool,
     ):
+        # u8 wire format (Config.transfer_dtype="uint8"): rebuild the exact
+        # f32 image/mask values on device — trace-time no-op for f32 wires.
+        inputs = wire.decode_inputs(inputs)
+        targets = wire.decode_targets(targets)
         rng_noise, rng_drop = jax.random.split(jax.random.fold_in(rng, state.step))
 
         def loss_fn(params):
@@ -302,6 +307,7 @@ def make_eval_step(
 
     @jax.jit
     def eval_step(params, batch_stats, inputs):
+        inputs = wire.decode_inputs(inputs)
         out = model.apply(
             {"params": params, "batch_stats": batch_stats},
             inputs,

@@ -294,6 +294,9 @@ def test_dexycb_real_eval_end_to_end(fixture_dirs, tmp_path, monkeypatch):
         "--cfg", "output_hm_shape=[32, 32, 32]", "--cfg", "bins_n=16",
         "--cfg", "sdf_infer_chunk=2048", "--cfg", "num_data_workers=2",
         "--cfg", "points_filter_dist=1.0",
+        # u8 input wire (ops/wire.py): covers evaluate's encode path on
+        # real batches; bit-exact vs f32 is pinned by tests/test_wire.py.
+        "--cfg", 'transfer_dtype="uint8"',
     ]
     monkeypatch.setattr(sys, "argv", argv)
     ev_mod.main()
@@ -312,7 +315,11 @@ def test_train_loop_real_path_end_to_end(fixture_dirs, tmp_path, monkeypatch):
     """Drives hoisdf_tpu.train_loop.main() on the on-disk fixture via the
     REAL-data branch: train step, snapshot, eval-during-training, and the
     debug-image grids the reference dumps to TensorBoard during real
-    training (main/train.py:302-440)."""
+    training (main/train.py:302-440).  Runs on the u8 input wire
+    (transfer_dtype=uint8, ops/wire.py) so the loop's encode path is
+    exercised with real fixture batches; step-level bit-exactness vs the
+    f32 wire is pinned by tests/test_wire.py, and the f32-wire loop is
+    covered by test_train.py's train_loop runs."""
     import sys
 
     from hoisdf_tpu import train_loop
@@ -335,6 +342,7 @@ def test_train_loop_real_path_end_to_end(fixture_dirs, tmp_path, monkeypatch):
         "--cfg", "sdf_infer_chunk=512", "--cfg", "train_batch_size=3",
         "--cfg", "eval_batch_size=3", "--cfg", "num_data_workers=2",
         "--cfg", "points_filter_dist=1.0", "--cfg", "small_dexycb=false",
+        "--cfg", 'transfer_dtype="uint8"',
     ]
     monkeypatch.setattr(sys, "argv", argv)
     train_loop.main()
