@@ -28,6 +28,7 @@ subsystem with no reference counterpart.  Used by ``Predictor``
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, Optional, Tuple
 
 import jax.numpy as jnp
@@ -92,13 +93,44 @@ def encode_batch(inputs: Dict, targets: Optional[Dict] = None
     return inputs, targets
 
 
-def decode_inputs(inputs: Dict) -> Dict:
-    """Device side (trace-time, inside jit): LUT-normalize a u8 image batch
-    back to the exact host f32 values.  f32 inputs pass through, so one
-    jitted step serves both wire formats (dtype is static under jit)."""
+@functools.lru_cache(maxsize=None)
+def _mul_decode_bf16_safe() -> bool:
+    """Exhaustive 256-value proof that the multiply decode is safe under
+    bf16 compute: ``bf16(f32(i) * fl32(1/255)) == bf16(f32(i)/255)`` for
+    every byte.  numpy f32 ops are IEEE — identical to XLA's f32 multiply
+    (an EXPLICIT multiply is not subject to the divide->reciprocal rewrite
+    that makes a device /255 1 ulp off).  In f32 the two differ on 126/256
+    values, which is why the fast path is gated to bf16 compute, where the
+    model's only image consumer casts first (models/hoisdf.py:383-386)."""
+    import ml_dtypes
+
+    i = np.arange(256, dtype=np.float32)
+    exact = (i / np.float32(255.0)).astype(ml_dtypes.bfloat16)
+    mul = (i * (np.float32(1.0) / np.float32(255.0))).astype(ml_dtypes.bfloat16)
+    return bool((mul.view(np.uint16) == exact.view(np.uint16)).all())
+
+
+def decode_inputs(inputs: Dict, compute_dtype: str = "float32") -> Dict:
+    """Device side (trace-time, inside jit): normalize a u8 image batch
+    back to the exact host values.  f32 inputs pass through, so one jitted
+    step serves both wire formats (dtype is static under jit).
+
+    Two decode paths, both end-to-end bit-exact vs the f32 wire:
+    - ``compute_dtype="bfloat16"`` (the production TPU path): a plain
+      ``f32(img) * fl(1/255)`` multiply.  Its f32 output is within 1 ulp
+      of the host normalize, and every model consumer casts the image to
+      bf16 first, where the two are IDENTICAL for all 256 byte values
+      (``_mul_decode_bf16_safe``; pinned bitwise by tests/test_wire.py on
+      a bf16-compute model).  ~Free on the VPU.
+    - otherwise: a 256-entry f32 LUT gather — exact in f32 itself, but a
+      real cost on TPU (gathers are VPU work: measured +37 ms/batch-22,
+      docs/PERFORMANCE.md)."""
     img = inputs.get("img")
     if img is None or not jnp.issubdtype(img.dtype, jnp.integer):
         return inputs
+    if compute_dtype == "bfloat16" and _mul_decode_bf16_safe():
+        dec = img.astype(jnp.float32) * np.float32(1.0 / 255.0)
+        return dict(inputs, img=dec)
     lut = jnp.asarray(u8_lut_np())
     return dict(inputs, img=jnp.take(lut, img.astype(jnp.int32)))
 

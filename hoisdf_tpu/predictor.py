@@ -150,7 +150,7 @@ class Predictor:
         # reciprocal /255; trace-time no-op for the f32 wire).
         @jax.jit
         def _packed_step(params, batch_stats, inputs):
-            inputs = wire.decode_inputs(inputs)
+            inputs = wire.decode_inputs(inputs, self.cfg.compute_dtype)
             preds = self._eval_step(params, batch_stats, inputs)
             return jnp.concatenate(
                 [preds[k].reshape(batch_size, -1).astype(jnp.float32)

@@ -249,7 +249,7 @@ def make_train_step(
     ):
         # u8 wire format (Config.transfer_dtype="uint8"): rebuild the exact
         # f32 image/mask values on device — trace-time no-op for f32 wires.
-        inputs = wire.decode_inputs(inputs)
+        inputs = wire.decode_inputs(inputs, cfg.compute_dtype)
         targets = wire.decode_targets(targets)
         rng_noise, rng_drop = jax.random.split(jax.random.fold_in(rng, state.step))
 
@@ -307,7 +307,7 @@ def make_eval_step(
 
     @jax.jit
     def eval_step(params, batch_stats, inputs):
-        inputs = wire.decode_inputs(inputs)
+        inputs = wire.decode_inputs(inputs, cfg.compute_dtype)
         out = model.apply(
             {"params": params, "batch_stats": batch_stats},
             inputs,

@@ -104,6 +104,51 @@ def test_train_step_bit_identical_across_wire_formats(setup):
         assert got[k] == ref[k], (k, got[k], ref[k])
 
 
+def test_mul_decode_bf16_identity_all_bytes():
+    """The fast multiply decode (bf16-compute gate): for every byte,
+    bf16(mul-decode) == bf16(LUT-decode).  In f32 they differ on 126/256
+    values — pin that too, so the gate is provably load-bearing."""
+    assert wire._mul_decode_bf16_safe()
+    u8 = jnp.asarray(np.arange(256, dtype=np.uint8))
+    lut = wire.decode_inputs({"img": u8})["img"]
+    mul = wire.decode_inputs({"img": u8}, compute_dtype="bfloat16")["img"]
+    np.testing.assert_array_equal(
+        np.asarray(lut.astype(jnp.bfloat16)), np.asarray(mul.astype(jnp.bfloat16))
+    )
+    assert (np.asarray(lut) != np.asarray(mul)).sum() == 126
+
+
+def test_eval_step_bit_identical_bf16_compute_mul_decode():
+    """End-to-end under the PRODUCTION decode path: bf16 compute uses the
+    multiply decode (no LUT gather), and eval outputs must still be
+    bit-identical across wire formats."""
+    cfg = get_config(
+        "dexycb", resnet_type=18, hidden_dim=64, dim_feedforward=128,
+        enc_layers=2, dec_layers=2, num_samp_hand=16, num_samp_obj=8,
+        input_img_shape=(64, 64), output_hm_shape=(32, 32, 32), bins_n=16,
+        sdf_infer_chunk=2048, hier_levels_obj=None,
+        compute_dtype="bfloat16",
+    )
+    model = build_model(cfg)
+    mano = ManoBuffers.from_model(make_synthetic_mano(0))
+    batch = synthetic_batch(cfg, batch_size=2, train=True)
+    inputs, _ = split_inputs_targets(batch)
+    inputs["img"] = to_float_image(wire.quantize_image_u8(inputs["img"]))
+    jin = {k: jnp.asarray(v) for k, v in inputs.items()}
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), jin, 100)
+    eval_step = make_eval_step(cfg, model, mano)
+    ref = eval_step(state.params, state.batch_stats, jin)
+    enc = wire.encode_inputs(inputs)
+    got = eval_step(
+        state.params, state.batch_stats,
+        {k: jnp.asarray(v) for k, v in enc.items()},
+    )
+    for k in ref:
+        np.testing.assert_array_equal(
+            np.asarray(ref[k]), np.asarray(got[k]), err_msg=k
+        )
+
+
 def test_eval_step_bit_identical_across_wire_formats(setup):
     cfg, model, mano, state, inputs, targets = setup
     eval_step = make_eval_step(cfg, model, mano)
